@@ -1,0 +1,348 @@
+"""Artifact formats: proof.json, verifier.json, proving.key, inputs.
+
+Schemas match the reference exactly (prover/src/groth16/format.rs):
+
+  proof.json    = {"a":[x,y], "b":[[xc0,xc1],[yc0,yc1]], "c":[x,y],
+                   "public_inputs":[dec strings]}          (format.rs:80-128)
+  verifier.json = full VK incl. "ic" array + "input_names" (format.rs:130-194)
+  proving.key   = [u32 BE len][ASTs] + [u32 count] x [u32 len][QEQ]
+                  + [u32 count][u32 ids...] + parameters    (format.rs:223-293)
+
+The parameters section follows the bellman Parameters<Bn256> layout:
+uncompressed big-endian affine points (G1 64B, G2 128B with c1 before
+c0), vk head then h/l/a/b_g1/b_g2 vectors each prefixed with a u32 BE
+count. Infinity encodes as 0x40 in the leading byte.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import BinaryIO
+
+from ..algebra import FS, AlgebraError
+from ..compiler.constraints import Constraints
+from ..curve import Fq2, G1Point, G2Point, Q, g1_is_on_curve, g2_is_on_curve
+from . import bincode
+from .r1cs import R1CS
+from .setup import Groth16Parameters, VerifyingKey
+
+
+class FormatError(Exception):
+    pass
+
+
+# -- point <-> decimal-string JSON structs (format.rs:38-78) ------------------
+
+
+def g1_to_jstruct(p: G1Point) -> list[str]:
+    if p is None:
+        raise FormatError("invalid point")
+    return [str(p[0]), str(p[1])]
+
+
+def g1_from_jstruct(j) -> G1Point:
+    p = (_parse_fq(j[0]), _parse_fq(j[1]))
+    if not g1_is_on_curve(p):
+        raise FormatError(f"bad coordinates ({j[0]},{j[1]})")
+    return p
+
+
+def g2_to_jstruct(p: G2Point) -> list[list[str]]:
+    if p is None:
+        raise FormatError("invalid point")
+    x, y = p
+    return [[str(x.c0), str(x.c1)], [str(y.c0), str(y.c1)]]
+
+
+def g2_from_jstruct(j) -> G2Point:
+    x = Fq2(_parse_fq(j[0][0]), _parse_fq(j[0][1]))
+    y = Fq2(_parse_fq(j[1][0]), _parse_fq(j[1][1]))
+    p = (x, y)
+    if not g2_is_on_curve(p):
+        raise FormatError(f"bad g2 coordinates {j}")
+    return p
+
+
+def _parse_fq(s: str) -> int:
+    try:
+        v = int(s, 16) if s.startswith("0x") else int(s, 10)
+    except ValueError as exc:
+        raise FormatError(f"{s} is not a number") from exc
+    return v % Q
+
+
+# -- proof.json ---------------------------------------------------------------
+
+
+def proof_to_json(proof, public_inputs: list[tuple[str, FS]]) -> str:
+    return json.dumps(
+        {
+            "a": g1_to_jstruct(proof.a),
+            "b": g2_to_jstruct(proof.b),
+            "c": g1_to_jstruct(proof.c),
+            "public_inputs": [str(v) for _, v in public_inputs],
+        },
+        separators=(",", ":"),
+    )
+
+
+def proof_from_json(s: str):
+    from .prove import Proof
+
+    try:
+        d = json.loads(s)
+    except json.JSONDecodeError as exc:
+        raise FormatError(str(exc)) from exc
+    proof = Proof(
+        a=g1_from_jstruct(d["a"]),
+        b=g2_from_jstruct(d["b"]),
+        c=g1_from_jstruct(d["c"]),
+    )
+    inputs = [int(x) for x in d["public_inputs"]]
+    return proof, inputs
+
+
+# -- verifier.json ------------------------------------------------------------
+
+
+def vk_to_json(vk: VerifyingKey, input_names: list[str]) -> str:
+    return json.dumps(
+        {
+            "alpha_g1": g1_to_jstruct(vk.alpha_g1),
+            "beta_g1": g1_to_jstruct(vk.beta_g1),
+            "beta_g2": g2_to_jstruct(vk.beta_g2),
+            "delta_g1": g1_to_jstruct(vk.delta_g1),
+            "delta_g2": g2_to_jstruct(vk.delta_g2),
+            "gamma_g2": g2_to_jstruct(vk.gamma_g2),
+            "ic": [g1_to_jstruct(p) for p in vk.ic],
+            "input_names": input_names,
+        },
+        separators=(",", ":"),
+    )
+
+
+def vk_from_json(s: str) -> tuple[VerifyingKey, list[str]]:
+    try:
+        d = json.loads(s)
+    except json.JSONDecodeError as exc:
+        raise FormatError(str(exc)) from exc
+    vk = VerifyingKey(
+        alpha_g1=g1_from_jstruct(d["alpha_g1"]),
+        beta_g1=g1_from_jstruct(d["beta_g1"]),
+        beta_g2=g2_from_jstruct(d["beta_g2"]),
+        gamma_g2=g2_from_jstruct(d["gamma_g2"]),
+        delta_g1=g1_from_jstruct(d["delta_g1"]),
+        delta_g2=g2_from_jstruct(d["delta_g2"]),
+        ic=[g1_from_jstruct(p) for p in d["ic"]],
+    )
+    return vk, list(d.get("input_names", []))
+
+
+# -- uncompressed point encoding ----------------------------------------------
+
+
+def g1_to_bytes(p: G1Point) -> bytes:
+    if p is None:
+        return bytes([0x40]) + bytes(63)
+    return p[0].to_bytes(32, "big") + p[1].to_bytes(32, "big")
+
+
+def g1_from_bytes(b: bytes) -> G1Point:
+    if b[0] & 0x40:
+        return None
+    x = int.from_bytes(b[0:32], "big")
+    y = int.from_bytes(b[32:64], "big")
+    p = (x, y)
+    if not g1_is_on_curve(p):
+        raise FormatError("g1 point not on curve")
+    return p
+
+
+def g2_to_bytes(p: G2Point) -> bytes:
+    if p is None:
+        return bytes([0x40]) + bytes(127)
+    x, y = p
+    return (
+        x.c1.to_bytes(32, "big")
+        + x.c0.to_bytes(32, "big")
+        + y.c1.to_bytes(32, "big")
+        + y.c0.to_bytes(32, "big")
+    )
+
+
+def g2_from_bytes(b: bytes) -> G2Point:
+    if b[0] & 0x40:
+        return None
+    x = Fq2(int.from_bytes(b[32:64], "big"), int.from_bytes(b[0:32], "big"))
+    y = Fq2(int.from_bytes(b[96:128], "big"), int.from_bytes(b[64:96], "big"))
+    p = (x, y)
+    if not g2_is_on_curve(p):
+        raise FormatError("g2 point not on curve")
+    return p
+
+
+# -- bellman-layout parameters section ----------------------------------------
+
+
+def _w_u32be(f: BinaryIO, v: int):
+    f.write(struct.pack(">I", v))
+
+
+def _r_u32be(f: BinaryIO) -> int:
+    return struct.unpack(">I", f.read(4))[0]
+
+
+def write_parameters(f: BinaryIO, params: Groth16Parameters):
+    vk = params.vk
+    f.write(g1_to_bytes(vk.alpha_g1))
+    f.write(g1_to_bytes(vk.beta_g1))
+    f.write(g2_to_bytes(vk.beta_g2))
+    f.write(g2_to_bytes(vk.gamma_g2))
+    f.write(g1_to_bytes(vk.delta_g1))
+    f.write(g2_to_bytes(vk.delta_g2))
+    _w_u32be(f, len(vk.ic))
+    for p in vk.ic:
+        f.write(g1_to_bytes(p))
+    for vec in (params.h, params.l, params.a, params.b_g1):
+        _w_u32be(f, len(vec))
+        for p in vec:
+            f.write(g1_to_bytes(p))
+    _w_u32be(f, len(params.b_g2))
+    for p in params.b_g2:
+        f.write(g2_to_bytes(p))
+    # domain size trailer (za-tpu extension; bellman derives it from
+    # h-query length at read time, we verify consistency)
+    _w_u32be(f, params.domain_size)
+
+
+def read_parameters(f: BinaryIO) -> Groth16Parameters:
+    def g1v() -> list[G1Point]:
+        n = _r_u32be(f)
+        return [g1_from_bytes(f.read(64)) for _ in range(n)]
+
+    alpha_g1 = g1_from_bytes(f.read(64))
+    beta_g1 = g1_from_bytes(f.read(64))
+    beta_g2 = g2_from_bytes(f.read(128))
+    gamma_g2 = g2_from_bytes(f.read(128))
+    delta_g1 = g1_from_bytes(f.read(64))
+    delta_g2 = g2_from_bytes(f.read(128))
+    ic = g1v()
+    h = g1v()
+    l = g1v()
+    a = g1v()
+    b_g1 = g1v()
+    n = _r_u32be(f)
+    b_g2 = [g2_from_bytes(f.read(128)) for _ in range(n)]
+    trailer = f.read(4)
+    if len(trailer) == 4:
+        domain_size = struct.unpack(">I", trailer)[0]
+    else:
+        domain_size = len(h) + 1
+    if domain_size != len(h) + 1:
+        raise FormatError("inconsistent domain size")
+    vk = VerifyingKey(
+        alpha_g1=alpha_g1, beta_g1=beta_g1, beta_g2=beta_g2,
+        gamma_g2=gamma_g2, delta_g1=delta_g1, delta_g2=delta_g2, ic=ic,
+    )
+    return Groth16Parameters(
+        vk=vk, h=h, l=l, a=a, b_g1=b_g1, b_g2=b_g2, domain_size=domain_size
+    )
+
+
+# -- proving.key --------------------------------------------------------------
+
+
+class ProvingKey:
+    """Full pk: persisted compiler output + Groth16 parameters
+    (format.rs:26-31)."""
+
+    def __init__(
+        self,
+        asts: list,
+        constraints: Constraints,
+        ignore_signals: list[int],
+        params: Groth16Parameters,
+    ):
+        self.asts = asts
+        self.constraints = constraints
+        self.ignore_signals = ignore_signals
+        self.params = params
+
+
+def write_pk(
+    f: BinaryIO,
+    asts: list,
+    constraints: Constraints,
+    ignore_signals: list[int],
+    params: Groth16Parameters,
+):
+    ast_serial = bincode.serialize_asts(asts)
+    _w_u32be(f, len(ast_serial))
+    f.write(ast_serial)
+
+    _w_u32be(f, len(constraints))
+    for i in range(len(constraints)):
+        qeq = bincode.serialize_qeq(constraints.get(i))
+        _w_u32be(f, len(qeq))
+        f.write(qeq)
+
+    _w_u32be(f, len(ignore_signals))
+    for s in ignore_signals:
+        _w_u32be(f, s)
+
+    write_parameters(f, params)
+
+
+def read_pk(f: BinaryIO) -> ProvingKey:
+    n = _r_u32be(f)
+    asts = bincode.deserialize_asts(f.read(n))
+
+    constraints = Constraints()
+    count = _r_u32be(f)
+    for _ in range(count):
+        ln = _r_u32be(f)
+        constraints.push(bincode.deserialize_qeq(f.read(ln)), None)
+
+    count = _r_u32be(f)
+    ignore_signals = [_r_u32be(f) for _ in range(count)]
+
+    params = read_parameters(f)
+    return ProvingKey(asts, constraints, ignore_signals, params)
+
+
+# -- input flattening (format.rs:295-332) -------------------------------------
+
+
+def flatten_json(prefix: str, json_str: str) -> list[tuple[str, FS]]:
+    """input.json -> [("main.p", FS)] with array/object path mangling."""
+    try:
+        data = json.loads(json_str)
+    except json.JSONDecodeError as exc:
+        raise FormatError(str(exc)) from exc
+
+    result: list[tuple[str, FS]] = []
+
+    def flatten(prefix: str, v):
+        if isinstance(v, list):
+            for i, item in enumerate(v):
+                flatten(f"{prefix}[{i}]", item)
+        elif isinstance(v, dict):
+            for key, item in v.items():
+                flatten(f"{prefix}.{key}", item)
+        elif isinstance(v, str):
+            try:
+                result.append((prefix, FS.parse(v)))
+            except AlgebraError as exc:
+                raise FormatError(str(exc)) from exc
+        elif isinstance(v, bool):
+            raise FormatError(f"Cannot decode value {v!r}")
+        elif isinstance(v, int):
+            if v < 0:
+                raise FormatError(f"bad value {v}")
+            result.append((prefix, FS(v)))
+        else:
+            raise FormatError(f"Cannot decode value {v!r}")
+
+    flatten(prefix, data)
+    return result

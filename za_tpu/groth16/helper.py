@@ -1,0 +1,161 @@
+"""End-to-end orchestration: setup() / prove() / verify().
+
+The capability surface re-exported by every binding
+(reference: prover/src/groth16/helper.rs:17-159).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+from ..algebra import FS, Value
+from ..compiler import Constraints, Evaluator, Mode, Signals, optimize
+from ..compiler.evaluator import Scope
+from ..compiler.tester import dump_error
+from . import format as fmt
+from .ethereum import generate_solidity
+from .prove import Proof, prove as groth16_prove
+from .r1cs import R1CS
+from .setup import generate_parameters
+from .verify import verify_proof
+
+log = logging.getLogger("za_tpu")
+
+VERIFIER_SOLIDITY = "solidity"
+VERIFIER_JSON = "json"
+
+
+def setup(
+    circuit_path: str,
+    proving_key_path: str,
+    verifier_type: str = VERIFIER_SOLIDITY,
+    engine=None,
+) -> str:
+    """Compile(GenConstraints) -> optimize -> trusted setup -> write pk;
+    returns the verifier artifact text (helper.rs:22-89)."""
+    ev = Evaluator(Mode.GEN_CONSTRAINTS)
+
+    log.info("Compiling circuit...")
+    start = time.monotonic()
+    try:
+        ev.eval_file(".", circuit_path)
+    except Exception as err:
+        dump_error(ev, repr(err))
+        raise
+    log.info("Compilation time: %.3fs", time.monotonic() - start)
+
+    signals, constraints = ev.signals, ev.constraints
+    log.info("[compile] %d signals, %d constraints", len(signals), len(constraints))
+
+    start = time.monotonic()
+    irreducible = signals.main_input_ids()
+    constraints, removed_signals = optimize(constraints, irreducible)
+    log.info("Optimization time: %.3fs", time.monotonic() - start)
+    log.info(
+        "[optimized] %d signals, %d constraints",
+        len(signals) - len(removed_signals),
+        len(constraints),
+    )
+
+    log.info("Running setup")
+    start = time.monotonic()
+    r1cs = R1CS.from_constraints(signals, constraints, removed_signals)
+    params = generate_parameters(r1cs)
+    log.info("Setup time: %.3fs", time.monotonic() - start)
+
+    start = time.monotonic()
+    with open(proving_key_path, "wb") as f:
+        fmt.write_pk(f, ev.collected_asts, constraints, removed_signals, params)
+    log.info("Proving key write time: %.3fs", time.monotonic() - start)
+
+    inputs = signals.main_public_input_names()
+    if verifier_type == VERIFIER_SOLIDITY:
+        return generate_solidity(params.vk, inputs)
+    if verifier_type == VERIFIER_JSON:
+        return fmt.vk_to_json(params.vk, inputs)
+    raise ValueError(f"unknown verifier type {verifier_type}")
+
+
+def prove(
+    proving_key_path: str,
+    inputs: list[tuple[str, FS]],
+    engine=None,
+    deterministic_rs: Optional[tuple[int, int]] = None,
+) -> str:
+    """read pk -> GenWitness over pk-stored ASTs -> prove -> proof.json
+    (helper.rs:91-147)."""
+    with open(proving_key_path, "rb") as f:
+        pk = fmt.read_pk(f)
+
+    log.info("Generating witness...")
+    ev = Evaluator(Mode.GEN_WITNESS)
+    start = time.monotonic()
+    for signal, value in inputs:
+        ev.set_deferred_value(signal, Value(value))
+    ev.eval_asts(pk.asts)
+    log.info("Witness generation time: %.3fs", time.monotonic() - start)
+
+    if not ev.constraints.is_empty():
+        raise RuntimeError("Constrains generated in witnes")
+
+    log.info("Checking signals...")
+    for n in range(1, len(ev.signals)):
+        signal = ev.signals.get_by_id(n)
+        if signal.value is None:
+            raise RuntimeError(
+                f"signal '{signal.full_name}' value is not defined"
+            )
+
+    log.info("Creating and self-verifying proof...")
+    return generate_verified_proof(
+        ev.signals, pk.ignore_signals, pk.constraints, pk.params,
+        engine=engine, deterministic_rs=deterministic_rs,
+    )
+
+
+def generate_verified_proof(
+    signals: Signals,
+    ignore_signals: list[int],
+    constraints: Constraints,
+    params,
+    engine=None,
+    deterministic_rs: Optional[tuple[int, int]] = None,
+) -> str:
+    """Constraint check -> proof -> self-verify -> proof.json
+    (prover.rs:139-208)."""
+    start = time.monotonic()
+    constraints.satisfies_with_signals(signals)
+    log.info(
+        "Constraint check time: %.3fs for %d constraint",
+        time.monotonic() - start, len(constraints),
+    )
+
+    r1cs = R1CS.from_constraints(signals, constraints, ignore_signals)
+    z = r1cs.assignment_from_signals(signals)
+
+    start = time.monotonic()
+    r, s = deterministic_rs if deterministic_rs is not None else (None, None)
+    proof = groth16_prove(params, r1cs, z, r=r, s=s, engine=engine)
+    log.info("Proof generation time: %.3fs", time.monotonic() - start)
+
+    # self-verify and emit public inputs
+    start = time.monotonic()
+    public_inputs = []
+    for n in range(len(signals)):
+        signal = signals.get_by_id(n)
+        if signal.is_main_public_input():
+            public_inputs.append((signal.full_name, signal.value.v))
+    if not verify_proof(params.vk, proof, [fs.v for _, fs in public_inputs]):
+        raise RuntimeError("proof self-verification failed")
+    log.info("Proof verification time: %.3fs", time.monotonic() - start)
+
+    return fmt.proof_to_json(proof, public_inputs)
+
+
+def verify(json_verifying_key: str, proof_and_public_input: str) -> bool:
+    """Bindings-only entry (helper.rs:149-159)."""
+    vk, _ = fmt.vk_from_json(json_verifying_key)
+    proof, public_inputs = fmt.proof_from_json(proof_and_public_input)
+    return verify_proof(vk, proof, public_inputs)

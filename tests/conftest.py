@@ -3,12 +3,22 @@ import sys
 
 # Device tests run on a virtual 8-device CPU mesh; must be set before jax
 # import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The shell may export JAX_PLATFORMS=axon (real TPU via tunnel); tests run
+# on a virtual 8-device CPU mesh. jax.config.update is the reliable
+# override regardless of env inheritance order.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 
 sys.setrecursionlimit(100_000)
 

@@ -1,0 +1,276 @@
+"""Batched elliptic-curve group law on limb vectors (G1 over Fq, G2 over Fq2).
+
+Uses the Renes-Costello-Batina complete addition formulas for a=0
+short-Weierstrass curves (homogeneous projective coordinates, identity
+(0:1:0)): 12M + 2 mul-by-3b, fully branchless -- no doubling/infinity
+special cases, which is exactly what SIMD bucket accumulation needs.
+Inputs restricted to the odd-prime-order r subgroups (always true for
+Groth16 key/proof material), where the formulas are complete.
+
+Coordinates are Montgomery-form limb arrays (za_tpu.engine.field);
+a G1 point is (X, Y, Z) of (16, ...) arrays, a G2 point is the same
+with Fq2 pairs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import B2, Q
+from . import field as F
+from .field import FQ
+
+
+class FieldOps:
+    """Field interface consumed by the generic group law.
+
+    mul_many batches a list of independent products into ONE limb
+    multiply (stacked along a new axis): the group law needs only 3
+    multiply layers, keeping both the compiled graph tiny and the VPU
+    batch wide.
+    """
+
+    def __init__(self, add, sub, mul, b3_mul, zero, one, mul_many, b3_const):
+        self.add = add
+        self.sub = sub
+        self.mul = mul
+        self.b3_mul = b3_mul    # multiply by 3*b (curve constant)
+        self.zero = zero        # limb constant, broadcastable
+        self.one = one
+        self.mul_many = mul_many  # [(a,b), ...] -> [a*b, ...]
+        self.b3_const = b3_const  # like -> 3*b broadcast to like's shape
+
+
+# -- G1: y^2 = x^3 + 3, b3 = 9 ------------------------------------------------
+
+_B3_G1 = FQ.to_mont_int(9)
+_B3_G1_LIMBS = F.int_to_limbs(_B3_G1)
+
+
+def _bcast(const_limbs, like):
+    extra = like.ndim - 1
+    return jnp.asarray(const_limbs).reshape((F.NLIMBS,) + (1,) * extra)
+
+
+def _g1_add(a, b):
+    return F.add_mod(a, b, FQ)
+
+
+def _g1_sub(a, b):
+    return F.sub_mod(a, b, FQ)
+
+
+def _g1_mul(a, b):
+    return F.mont_mul(a, b, FQ)
+
+
+def _g1_b3(a):
+    return F.mont_mul(a, _bcast(_B3_G1_LIMBS, a), FQ)
+
+
+def _g1_mul_many(pairs):
+    k = len(pairs)
+    A = jnp.stack([a for a, _ in pairs], axis=1)  # (16, k, ...)
+    B = jnp.stack([b for _, b in pairs], axis=1)
+    P = F.mont_mul(A, B, FQ)
+    return [P[:, i] for i in range(k)]
+
+
+def _g1_b3_const(like):
+    return jnp.broadcast_to(_bcast(_B3_G1_LIMBS, like), like.shape)
+
+
+G1_OPS = FieldOps(
+    _g1_add, _g1_sub, _g1_mul, _g1_b3,
+    zero=F.int_to_limbs(0),
+    one=F.int_to_limbs(FQ.r_mod),
+    mul_many=_g1_mul_many,
+    b3_const=_g1_b3_const,
+)
+
+# -- G2: y^2 = x^3 + 3/(9+i), b3 = 3*B2 over Fq2 ------------------------------
+
+_B3_G2_C0 = FQ.to_mont_int((3 * B2.c0) % Q)
+_B3_G2_C1 = FQ.to_mont_int((3 * B2.c1) % Q)
+_B3_G2_LIMBS = (F.int_to_limbs(_B3_G2_C0), F.int_to_limbs(_B3_G2_C1))
+
+
+def _g2_b3(a):
+    c = (_bcast(_B3_G2_LIMBS[0], a[0]), _bcast(_B3_G2_LIMBS[1], a[1]))
+    return F.fq2_mul(a, c)
+
+
+def _g2_mul_many(pairs):
+    """Karatsuba Fq2 products, all limb-multiplies fused into one:
+    for each pair we need a0*b0, a1*b1, (a0+a1)*(b0+b1) -- 3k products
+    in a single stacked mont_mul."""
+    k = len(pairs)
+    a0s = [a[0] for a, _ in pairs]
+    a1s = [a[1] for a, _ in pairs]
+    b0s = [b[0] for _, b in pairs]
+    b1s = [b[1] for _, b in pairs]
+    asum = [F.add_mod(x, y, FQ) for x, y in zip(a0s, a1s)]
+    bsum = [F.add_mod(x, y, FQ) for x, y in zip(b0s, b1s)]
+    A = jnp.stack(a0s + a1s + asum, axis=1)
+    B = jnp.stack(b0s + b1s + bsum, axis=1)
+    P = F.mont_mul(A, B, FQ)
+    out = []
+    for i in range(k):
+        t0 = P[:, i]
+        t1 = P[:, k + i]
+        cross = P[:, 2 * k + i]
+        c0 = F.sub_mod(t0, t1, FQ)
+        c1 = F.sub_mod(F.sub_mod(cross, t0, FQ), t1, FQ)
+        out.append((c0, c1))
+    return out
+
+
+def _g2_b3_const(like):
+    return (
+        jnp.broadcast_to(_bcast(_B3_G2_LIMBS[0], like[0]), like[0].shape),
+        jnp.broadcast_to(_bcast(_B3_G2_LIMBS[1], like[1]), like[1].shape),
+    )
+
+
+G2_OPS = FieldOps(
+    F.fq2_add, F.fq2_sub, F.fq2_mul, _g2_b3,
+    zero=(F.int_to_limbs(0), F.int_to_limbs(0)),
+    one=(F.int_to_limbs(FQ.r_mod), F.int_to_limbs(0)),
+    mul_many=_g2_mul_many,
+    b3_const=_g2_b3_const,
+)
+
+
+# -- complete projective addition (RCB 2015, a=0) -----------------------------
+
+
+def point_add(p, q, ops: FieldOps):
+    """(X1:Y1:Z1) + (X2:Y2:Z2), complete (handles identity/doubling).
+
+    RCB operations regrouped into three batched multiply layers (the
+    formulas' data dependencies allow exactly this): layer 1 computes
+    the six pairwise coordinate products, layer 2 the two b3 scalings,
+    layer 3 the six cross products."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    add, sub = ops.add, ops.sub
+
+    t0, t1, t2, m3, m4, m5 = ops.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (add(X1, Y1), add(X2, Y2)),
+            (add(Y1, Z1), add(Y2, Z2)),
+            (add(X1, Z1), add(X2, Z2)),
+        ]
+    )
+    t3 = sub(m3, add(t0, t1))                # X1Y2 + X2Y1
+    t4 = sub(m4, add(t1, t2))                # Y1Z2 + Y2Z1
+    y3 = sub(m5, add(t0, t2))                # X1Z2 + X2Z1
+    x3 = add(t0, t0)
+    t0 = add(x3, t0)                         # 3*X1X2
+
+    b3c = ops.b3_const(t2)
+    t2b, y3b = ops.mul_many([(t2, b3c), (y3, b3c)])
+    Z3 = add(t1, t2b)
+    t1 = sub(t1, t2b)
+
+    p0, p1, p2, p3, p4, p5 = ops.mul_many(
+        [(t4, y3b), (t3, t1), (y3b, t0), (t1, Z3), (t0, t3), (Z3, t4)]
+    )
+    X3 = sub(p1, p0)
+    Y3 = add(p3, p2)
+    Z3 = add(p5, p4)
+    return (X3, Y3, Z3)
+
+
+def point_double(p, ops: FieldOps):
+    return point_add(p, p, ops)
+
+
+def point_identity_like(coord_like, ops: FieldOps, is_g2: bool):
+    """(0:1:0) broadcast to the batch shape of coord_like."""
+    if is_g2:
+        shape = coord_like[0].shape
+
+        def c(l):
+            return jnp.broadcast_to(_bcast(l, coord_like[0]), shape)
+
+        zero = (c(ops.zero[0]), c(ops.zero[1]))
+        one = (c(ops.one[0]), c(ops.one[1]))
+        return (zero, one, zero)
+    shape = coord_like.shape
+    zero = jnp.broadcast_to(_bcast(ops.zero, coord_like), shape)
+    one = jnp.broadcast_to(_bcast(ops.one, coord_like), shape)
+    return (zero, one, zero)
+
+
+# -- host conversion helpers --------------------------------------------------
+
+
+def g1_points_to_device(points) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """list of affine G1 (or None) -> projective Montgomery limb arrays
+    (X, Y, Z) each (16, n). None -> (0:1:0)."""
+    xs, ys, zs = [], [], []
+    for p in points:
+        if p is None:
+            xs.append(0)
+            ys.append(FQ.r_mod)
+            zs.append(0)
+        else:
+            xs.append(FQ.to_mont_int(p[0]))
+            ys.append(FQ.to_mont_int(p[1]))
+            zs.append(FQ.r_mod)
+    return (F.ints_to_limbs(xs), F.ints_to_limbs(ys), F.ints_to_limbs(zs))
+
+
+def g2_points_to_device(points):
+    """list of affine G2 (or None) -> projective Fq2 limb arrays."""
+    x0, x1, y0, y1, z0, z1 = [], [], [], [], [], []
+    for p in points:
+        if p is None:
+            x0.append(0); x1.append(0)
+            y0.append(FQ.r_mod); y1.append(0)
+            z0.append(0); z1.append(0)
+        else:
+            x, y = p
+            x0.append(FQ.to_mont_int(x.c0)); x1.append(FQ.to_mont_int(x.c1))
+            y0.append(FQ.to_mont_int(y.c0)); y1.append(FQ.to_mont_int(y.c1))
+            z0.append(FQ.r_mod); z1.append(0)
+    mk = F.ints_to_limbs
+    return (
+        (mk(x0), mk(x1)),
+        (mk(y0), mk(y1)),
+        (mk(z0), mk(z1)),
+    )
+
+
+def g1_point_from_device(X, Y, Z):
+    """Single projective point (limbs, batch size 1 or scalar) -> affine
+    host tuple or None."""
+    x = FQ.from_mont_int(F.limbs_to_int(np.asarray(X).reshape(F.NLIMBS, -1)[:, 0]))
+    y = FQ.from_mont_int(F.limbs_to_int(np.asarray(Y).reshape(F.NLIMBS, -1)[:, 0]))
+    z = FQ.from_mont_int(F.limbs_to_int(np.asarray(Z).reshape(F.NLIMBS, -1)[:, 0]))
+    if z == 0:
+        return None
+    zinv = pow(z, -1, Q)
+    return (x * zinv % Q, y * zinv % Q)
+
+
+def g2_point_from_device(X, Y, Z):
+    from ..curve import Fq2
+
+    def cv(c):
+        return FQ.from_mont_int(
+            F.limbs_to_int(np.asarray(c).reshape(F.NLIMBS, -1)[:, 0])
+        )
+
+    x = Fq2(cv(X[0]), cv(X[1]))
+    y = Fq2(cv(Y[0]), cv(Y[1]))
+    z = Fq2(cv(Z[0]), cv(Z[1]))
+    if z.is_zero():
+        return None
+    zinv = z.inv()
+    return (x * zinv, y * zinv)

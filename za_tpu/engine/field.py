@@ -1,0 +1,331 @@
+"""Batched modular big-integer arithmetic on TPU-friendly limb vectors.
+
+Representation: a field element is 16 little-endian limbs of 16 bits
+stored as uint32, shape ``(16, ...)`` (limb axis leading so the batch
+axis lands in the 128-wide lane dimension of the VPU). Products of two
+16-bit limbs are exact in uint32; partial-product columns accumulate at
+most 32 terms of 16 bits so column sums stay < 2^21 -- no overflow
+anywhere, no 64-bit arithmetic needed (TPU has no u64 multiply path).
+
+Montgomery arithmetic with R = 2^256: ``mont_mul(a, b) = a*b*R^-1``.
+The same code runs as plain jitted XLA (CPU or TPU) and inside Pallas
+kernel bodies; the host golden model is za_tpu.curve / Python ints.
+
+Reference behavior being replaced: bn128 Fq/Fr arithmetic inside the
+pairing_ce/bellman_ce forks (SURVEY.md section 2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NLIMBS = 16
+LIMB_BITS = 16
+MASK = (1 << LIMB_BITS) - 1
+MONT_BITS = NLIMBS * LIMB_BITS  # R = 2^256
+
+
+def int_to_limbs(v: int) -> np.ndarray:
+    """Python int -> (16,) uint32 limb array."""
+    return np.array(
+        [(v >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)], dtype=np.uint32
+    )
+
+
+def ints_to_limbs(vs) -> np.ndarray:
+    """list of ints -> (16, n) uint32."""
+    out = np.empty((NLIMBS, len(vs)), dtype=np.uint32)
+    for j, v in enumerate(vs):
+        for i in range(NLIMBS):
+            out[i, j] = (v >> (LIMB_BITS * i)) & MASK
+    return out
+
+
+def limbs_to_int(a) -> int:
+    a = np.asarray(a)
+    return sum(int(a[i]) << (LIMB_BITS * i) for i in range(a.shape[0]))
+
+
+def limbs_to_ints(a) -> list:
+    a = np.asarray(a)
+    n = a.shape[1]
+    return [
+        sum(int(a[i, j]) << (LIMB_BITS * i) for i in range(a.shape[0]))
+        for j in range(n)
+    ]
+
+
+class FpParams:
+    """Montgomery constants for a modulus (used for both Fr and Fq)."""
+
+    def __init__(self, modulus: int):
+        self.modulus = modulus
+        self.r_mod = (1 << MONT_BITS) % modulus
+        self.r2 = (1 << (2 * MONT_BITS)) % modulus
+        self.n_prime = (-pow(modulus, -1, 1 << MONT_BITS)) % (1 << MONT_BITS)
+        self.mod_limbs = int_to_limbs(modulus)
+        self.np_limbs = int_to_limbs(self.n_prime)
+        self.r2_limbs = int_to_limbs(self.r2)
+        self.one_mont = int_to_limbs(self.r_mod)
+        self.one_plain = int_to_limbs(1)
+        self.zero = int_to_limbs(0)
+
+    def to_mont_int(self, v: int) -> int:
+        return v * self.r_mod % self.modulus
+
+    def from_mont_int(self, v: int) -> int:
+        return v * pow(self.r_mod, -1, self.modulus) % self.modulus
+
+
+from ..curve import Q as _Q, R as _R  # noqa: E402
+
+FR = FpParams(_R)
+FQ = FpParams(_Q)
+
+
+# -- carry / compare primitives ----------------------------------------------
+
+
+def carry_prop(cols):
+    """Exact carry propagation: (L, ...) uint32 columns (values < 2^32)
+    -> (L, ...) canonical 16-bit digits. The final carry must be zero
+    for in-range values (callers guarantee bounds). Implemented as a
+    lax.scan over the limb axis so the compiled graph stays small."""
+
+    def step(c, col):
+        v = col + c
+        return v >> LIMB_BITS, v & MASK
+
+    _, outs = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
+    return outs
+
+
+def sub_borrow(a, b):
+    """a - b with borrow chain; returns (digits, borrow_out in {0,1})."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+
+    def step(br, ab):
+        x, y = ab
+        v = x.astype(jnp.int32) - y.astype(jnp.int32) - br
+        return (v < 0).astype(jnp.int32), (v & MASK).astype(jnp.uint32)
+
+    br0 = jnp.zeros(shape[1:], dtype=jnp.int32)
+    br, outs = jax.lax.scan(step, br0, (a, b))
+    return outs, br
+
+
+def add_nocarry(a, b):
+    """a + b, both canonical 16-bit digits; exact carry propagation
+    (result must fit in L limbs)."""
+    return carry_prop(a + b)
+
+
+def geq(a, b):
+    """a >= b for canonical digit vectors."""
+    _, br = sub_borrow(a, b)
+    return br == 0
+
+
+# -- modular add/sub/neg ------------------------------------------------------
+
+
+def _bshape(modl, x):
+    """Broadcast (16,) constant limbs against (16, ...) x."""
+    extra = x.ndim - 1
+    return jnp.asarray(modl).reshape((NLIMBS,) + (1,) * extra)
+
+
+def add_mod(a, b, p: FpParams):
+    s = carry_prop(a + b)  # < 2N < 2^257? N < 2^254 so sum < 2^255: fits
+    n = _bshape(p.mod_limbs, a)
+    d, br = sub_borrow(s, n)
+    return jnp.where(br == 0, d, s)
+
+
+def sub_mod(a, b, p: FpParams):
+    d, br = sub_borrow(a, b)
+    n = _bshape(p.mod_limbs, a)
+    dn = carry_prop(d + n)
+    return jnp.where(br == 1, dn, d)
+
+
+def neg_mod(a, p: FpParams):
+    """(N - a) mod N; maps 0 -> 0."""
+    n = _bshape(p.mod_limbs, a)
+    d, _ = sub_borrow(n, a)
+    is_zero = jnp.all(a == 0, axis=0)
+    return jnp.where(is_zero, a, d)
+
+
+# -- wide multiply + Montgomery reduction ------------------------------------
+
+
+def _skew_sum(rows, shift: int):
+    """Sum rows of a (16, 16, ...) tensor with row i shifted right by
+    i+shift into a (32, ...) column vector.
+
+    Uses the pad-flatten-reshape skew trick: padding each row to width
+    W+1 and re-viewing the flat buffer at width W shifts row i by i --
+    five XLA ops total, no unrolled scatter chain."""
+    W = 2 * NLIMBS
+    pad_cfg = [(0, 0)] * (rows.ndim - 2)
+    padded = jnp.pad(rows, [(0, 0), (shift, W + 1 - NLIMBS - shift)] + pad_cfg)
+    flat = padded.reshape((NLIMBS * (W + 1),) + rows.shape[2:])
+    skewed = flat[: NLIMBS * W].reshape((NLIMBS, W) + rows.shape[2:])
+    return jnp.sum(skewed, axis=0)
+
+
+def mul_wide(a, b):
+    """Full 512-bit product as 32 columns of < 2^21 digits.
+
+    a, b: (16, ...) canonical 16-bit digits. One broadcast multiply for
+    all partial products; anti-diagonal column sums via the skew trick
+    (column sums gather at most 32 16-bit terms -> < 2^21, no overflow)."""
+    p = a[:, None] * b[None, :]  # (16, 16, ...) exact u32 products
+    return _skew_sum(p & MASK, 0) + _skew_sum(p >> LIMB_BITS, 1)
+
+
+def mul_lo(a, b):
+    """Low 256 bits of a*b as canonical digits (mod 2^256): the low 16
+    columns of the wide product, carried with overflow dropped."""
+    cols = mul_wide(a, b)[:NLIMBS]
+    return carry_prop(cols)  # final carry dropped by construction
+
+
+def redc_wide(t_cols, p: FpParams):
+    """Montgomery reduction of a 32-column value t < N*R (digits may be
+    non-canonical, up to ~2^26): returns t*R^-1 mod N as canonical digits."""
+    t = carry_prop(t_cols)  # canonical 32 digits
+    npr = _bshape(p.np_limbs, t[:NLIMBS])
+    m = mul_lo(t[:NLIMBS], npr)  # m = (t mod R) * N' mod R
+    n = _bshape(p.mod_limbs, m)
+    u = t + mul_wide(m, n)  # columns < 2^21 + 2^16: safe
+    u = carry_prop(u)
+    res = u[NLIMBS:]
+    d, br = sub_borrow(res, n)
+    return jnp.where(br == 0, d, res)
+
+
+def mont_mul(a, b, p: FpParams):
+    """a * b * R^-1 mod N (Montgomery product)."""
+    return redc_wide(mul_wide(a, b), p)
+
+
+def to_mont(a, p: FpParams):
+    return mont_mul(a, _bshape(p.r2_limbs, a), p)
+
+
+def from_mont(a, p: FpParams):
+    return mont_mul(a, _bshape(p.one_plain, a), p)
+
+
+def mont_sqr(a, p: FpParams):
+    return mont_mul(a, a, p)
+
+
+def mont_pow(a, e: int, p: FpParams):
+    """Static-exponent power, unrolled: use only for SMALL exponents
+    (every set bit becomes a mont_mul in the graph)."""
+    result = jnp.broadcast_to(_bshape(p.one_mont, a), a.shape)
+    base = a
+    while e:
+        if e & 1:
+            result = mont_mul(result, base, p)
+        base = mont_sqr(base, p)
+        e >>= 1
+    return result
+
+
+def mont_pow_bits(a, e: int, p: FpParams):
+    """Static 256-bit exponent power via fori_loop (square-and-multiply
+    LSB-first) -- small compiled graph."""
+    nbits = max(e.bit_length(), 1)
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+    )
+    one = jnp.broadcast_to(_bshape(p.one_mont, a), a.shape)
+
+    def body(i, state):
+        result, base = state
+        mul = mont_mul(result, base, p)
+        result = jnp.where(bits[i] == 1, mul, result)
+        base = mont_sqr(base, p)
+        return result, base
+
+    result, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+    return result
+
+
+def mont_inv(a, p: FpParams):
+    """Batched inversion via Fermat (a^(N-2)); maps 0 -> 0."""
+    return mont_pow_bits(a, p.modulus - 2, p)
+
+
+def batch_inverse_mont(a, p: FpParams):
+    """Montgomery batch inversion along the last axis: one Fermat
+    inversion + 3(n-1) muls. Requires all entries nonzero."""
+    n = a.shape[-1]
+    if n == 1:
+        return mont_inv(a, p)
+
+    def scan_fwd(carry, x):
+        nxt = mont_mul(carry, x, p)
+        return nxt, carry
+
+    one = jnp.broadcast_to(_bshape(p.one_mont, a[..., 0]), a[..., 0].shape)
+    # prefix[i] = a_0 * ... * a_{i-1}
+    a_t = jnp.moveaxis(a, -1, 0)
+    total, prefixes = jax.lax.scan(scan_fwd, one, a_t)
+    inv_total = mont_inv(total, p)
+
+    def scan_bwd(carry, xs):
+        x, prefix = xs
+        out = mont_mul(carry, prefix, p)
+        carry = mont_mul(carry, x, p)
+        return carry, out
+
+    _, invs = jax.lax.scan(scan_bwd, inv_total, (a_t, prefixes), reverse=True)
+    return jnp.moveaxis(invs, 0, -1)
+
+
+# -- Fq2 on limb pairs (for G2) ----------------------------------------------
+# An Fq2 element is a pair (c0, c1) of (16, ...) limb arrays; i^2 = -1.
+
+
+def fq2_add(a, b, p=FQ):
+    return (add_mod(a[0], b[0], p), add_mod(a[1], b[1], p))
+
+
+def fq2_sub(a, b, p=FQ):
+    return (sub_mod(a[0], b[0], p), sub_mod(a[1], b[1], p))
+
+
+def fq2_neg(a, p=FQ):
+    return (neg_mod(a[0], p), neg_mod(a[1], p))
+
+
+def fq2_mul(a, b, p=FQ):
+    a0, a1 = a
+    b0, b1 = b
+    t0 = mont_mul(a0, b0, p)
+    t1 = mont_mul(a1, b1, p)
+    # (a0+a1)(b0+b1) - t0 - t1
+    cross = mont_mul(add_mod(a0, a1, p), add_mod(b0, b1, p), p)
+    c1 = sub_mod(sub_mod(cross, t0, p), t1, p)
+    c0 = sub_mod(t0, t1, p)
+    return (c0, c1)
+
+
+def fq2_sqr(a, p=FQ):
+    return fq2_mul(a, a, p)
+
+
+def fq2_scale(a, s, p=FQ):
+    """Multiply Fq2 by an Fq scalar (limb array)."""
+    return (mont_mul(a[0], s, p), mont_mul(a[1], s, p))

@@ -1,0 +1,142 @@
+"""Benchmark harness: Groth16 prover device compute on the attached chip.
+
+Measures the end-to-end device compute of one proof for a synthetic
+multiplier-chain circuit (BASELINE.md config 3/5 scaled by
+ZA_BENCH_LOG2N): QAP h(x) via coset NTT + the G1 a/b/l/h MSMs + the
+G2 b MSM, through the same TpuEngine the prover uses.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against single-core CPU bellman extrapolated at
+~5000 constraints/s (the reference publishes no numbers -- BASELINE.md;
+this constant approximates bellman_ce's single-thread proving rate on a
+modern core and is recorded here for transparency).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.setrecursionlimit(100_000)
+
+BELLMAN_SINGLE_CORE_CONSTRAINTS_PER_S = 5000.0
+
+
+def build_r1cs(log2n: int):
+    """Synthetic multiplier chain: n constraints t[i] = t[i-1] * t[i-1] + i,
+    built directly as R1CS (skips the circuit interpreter, which is not
+    what this benchmark measures)."""
+    import random
+
+    from za_tpu.curve import R
+    from za_tpu.groth16.r1cs import R1CS
+
+    n = 1 << log2n
+    rng = random.Random(99)
+    # variables: 0 = ONE, 1 = public input x, 2..n+1 = chain values
+    a_rows, b_rows, c_rows = [], [], []
+    z = [1, rng.randrange(1, R)]
+    for i in range(n):
+        prev = i + 1
+        cur = i + 2
+        # t_cur = t_prev * t_prev + i  ->  t_prev * t_prev = t_cur - i
+        a_rows.append([(prev, 1)])
+        b_rows.append([(prev, 1)])
+        c_rows.append([(cur, 1), (0, (-i) % R)])
+        z.append((z[prev] * z[prev] + i) % R)
+    r1cs = R1CS(
+        num_inputs=2,
+        num_aux=n,
+        input_names=["main.x"],
+        a_rows=a_rows,
+        b_rows=b_rows,
+        c_rows=c_rows,
+        var_of_signal=[],
+    )
+    assert r1cs.is_satisfied(z)
+    return r1cs, z
+
+
+def main():
+    log2n = int(os.environ.get("ZA_BENCH_LOG2N", "13"))
+    lanes = int(os.environ.get("ZA_BENCH_LANES", "256"))
+
+    from za_tpu.curve import G1_GEN, G2_GEN, R, g1_mul, g2_mul
+    from za_tpu.engine.engine import TpuEngine
+    from za_tpu.groth16.domain import Domain
+
+    t0 = time.time()
+    r1cs, z = build_r1cs(log2n)
+    n = r1cs.num_constraints
+    domain = Domain.for_constraints(n + r1cs.num_inputs)
+    print(f"# built r1cs n={n} domain={domain.size} in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    # synthetic pk queries (random points; the kernels do identical work
+    # regardless of the point values)
+    import random
+
+    rng = random.Random(5)
+
+    def g1s(k):
+        base = [g1_mul(G1_GEN, rng.randrange(1, 1 << 62)) for _ in range(64)]
+        return [base[i % 64] for i in range(k)]
+
+    def g2s(k):
+        base = [g2_mul(G2_GEN, rng.randrange(1, 1 << 62)) for _ in range(16)]
+        return [base[i % 16] for i in range(k)]
+
+    nv = r1cs.num_vars
+    m = domain.size
+    a_q, b1_q, l_q, h_q = g1s(nv), g1s(nv), g1s(r1cs.num_aux), g1s(m - 1)
+    b2_q = g2s(nv)
+
+    eng = TpuEngine(lanes=lanes)
+
+    def prove_compute():
+        h = eng.h_coeffs(r1cs, z, domain)
+        pa = eng.msm_g1(a_q, z)
+        pb1 = eng.msm_g1(b1_q, z)
+        pl = eng.msm_g1(l_q, z[r1cs.num_inputs:])
+        ph = eng.msm_g1(h_q, h)
+        pb2 = eng.msm_g2(b2_q, z)
+        return pa, pb1, pl, ph, pb2
+
+    t0 = time.time()
+    prove_compute()  # compile + warm
+    warm = time.time() - t0
+    print(f"# warmup (incl compile) {warm:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    prove_compute()
+    dt = time.time() - t0
+
+    # point-add work: 4 G1 MSMs of ~n points + 1 G2 MSM, windows = 254/c
+    import za_tpu.engine.msm as MSM
+
+    c = MSM.pick_window(nv)
+    windows = (254 + c - 1) // c
+    point_adds = windows * (3 * nv + (m - 1) + r1cs.num_aux)
+    baseline_s = n / BELLMAN_SINGLE_CORE_CONSTRAINTS_PER_S
+
+    result = {
+        "metric": f"groth16_prove_device_compute_{1 << log2n}c",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / dt, 2),
+        "detail": {
+            "constraints": n,
+            "domain": m,
+            "g1_point_adds_per_s": int(point_adds / dt),
+            "warmup_s": round(warm, 1),
+            "baseline": "single-core bellman @5k constraints/s (est)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

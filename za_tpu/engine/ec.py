@@ -31,7 +31,8 @@ class FieldOps:
     batch wide.
     """
 
-    def __init__(self, add, sub, mul, b3_mul, zero, one, mul_many, b3_const):
+    def __init__(self, add, sub, mul, b3_mul, zero, one, mul_many, b3_const,
+                 add_many, sub_many):
         self.add = add
         self.sub = sub
         self.mul = mul
@@ -40,6 +41,8 @@ class FieldOps:
         self.one = one
         self.mul_many = mul_many  # [(a,b), ...] -> [a*b, ...]
         self.b3_const = b3_const  # like -> 3*b broadcast to like's shape
+        self.add_many = add_many  # [(a,b), ...] -> [a+b, ...]
+        self.sub_many = sub_many
 
 
 # -- G1: y^2 = x^3 + 3, b3 = 9 ------------------------------------------------
@@ -77,6 +80,20 @@ def _g1_mul_many(pairs):
     return [P[:, i] for i in range(k)]
 
 
+def _g1_add_many(pairs):
+    A = jnp.stack([a for a, _ in pairs], axis=1)
+    B = jnp.stack([b for _, b in pairs], axis=1)
+    S = F.add_mod(A, B, FQ)
+    return [S[:, i] for i in range(len(pairs))]
+
+
+def _g1_sub_many(pairs):
+    A = jnp.stack([a for a, _ in pairs], axis=1)
+    B = jnp.stack([b for _, b in pairs], axis=1)
+    S = F.sub_mod(A, B, FQ)
+    return [S[:, i] for i in range(len(pairs))]
+
+
 def _g1_b3_const(like):
     return jnp.broadcast_to(_bcast(_B3_G1_LIMBS, like), like.shape)
 
@@ -87,6 +104,8 @@ G1_OPS = FieldOps(
     one=F.int_to_limbs(FQ.r_mod),
     mul_many=_g1_mul_many,
     b3_const=_g1_b3_const,
+    add_many=_g1_add_many,
+    sub_many=_g1_sub_many,
 )
 
 # -- G2: y^2 = x^3 + 3/(9+i), b3 = 3*B2 over Fq2 ------------------------------
@@ -104,26 +123,44 @@ def _g2_b3(a):
 def _g2_mul_many(pairs):
     """Karatsuba Fq2 products, all limb-multiplies fused into one:
     for each pair we need a0*b0, a1*b1, (a0+a1)*(b0+b1) -- 3k products
-    in a single stacked mont_mul."""
+    in a single stacked mont_mul, with vectorized recombination."""
     k = len(pairs)
-    a0s = [a[0] for a, _ in pairs]
-    a1s = [a[1] for a, _ in pairs]
-    b0s = [b[0] for _, b in pairs]
-    b1s = [b[1] for _, b in pairs]
-    asum = [F.add_mod(x, y, FQ) for x, y in zip(a0s, a1s)]
-    bsum = [F.add_mod(x, y, FQ) for x, y in zip(b0s, b1s)]
-    A = jnp.stack(a0s + a1s + asum, axis=1)
-    B = jnp.stack(b0s + b1s + bsum, axis=1)
+    A0 = jnp.stack([a[0] for a, _ in pairs], axis=1)  # (16, k, ...)
+    A1 = jnp.stack([a[1] for a, _ in pairs], axis=1)
+    B0 = jnp.stack([b[0] for _, b in pairs], axis=1)
+    B1 = jnp.stack([b[1] for _, b in pairs], axis=1)
+    Asum = F.add_mod(A0, A1, FQ)
+    Bsum = F.add_mod(B0, B1, FQ)
+    A = jnp.concatenate([A0, A1, Asum], axis=1)
+    B = jnp.concatenate([B0, B1, Bsum], axis=1)
     P = F.mont_mul(A, B, FQ)
-    out = []
-    for i in range(k):
-        t0 = P[:, i]
-        t1 = P[:, k + i]
-        cross = P[:, 2 * k + i]
-        c0 = F.sub_mod(t0, t1, FQ)
-        c1 = F.sub_mod(F.sub_mod(cross, t0, FQ), t1, FQ)
-        out.append((c0, c1))
-    return out
+    t0 = P[:, :k]
+    t1 = P[:, k : 2 * k]
+    cross = P[:, 2 * k :]
+    C0 = F.sub_mod(t0, t1, FQ)
+    C1 = F.sub_mod(F.sub_mod(cross, t0, FQ), t1, FQ)
+    return [(C0[:, i], C1[:, i]) for i in range(k)]
+
+
+def _g2_stack(pairs):
+    """Stack fq2 pairs into component-concatenated operand arrays."""
+    A = jnp.stack([a[0] for a, _ in pairs] + [a[1] for a, _ in pairs], axis=1)
+    B = jnp.stack([b[0] for _, b in pairs] + [b[1] for _, b in pairs], axis=1)
+    return A, B
+
+
+def _g2_unstack(S, k):
+    return [(S[:, i], S[:, k + i]) for i in range(k)]
+
+
+def _g2_add_many(pairs):
+    A, B = _g2_stack(pairs)
+    return _g2_unstack(F.add_mod(A, B, FQ), len(pairs))
+
+
+def _g2_sub_many(pairs):
+    A, B = _g2_stack(pairs)
+    return _g2_unstack(F.sub_mod(A, B, FQ), len(pairs))
 
 
 def _g2_b3_const(like):
@@ -139,6 +176,8 @@ G2_OPS = FieldOps(
     one=(F.int_to_limbs(FQ.r_mod), F.int_to_limbs(0)),
     mul_many=_g2_mul_many,
     b3_const=_g2_b3_const,
+    add_many=_g2_add_many,
+    sub_many=_g2_sub_many,
 )
 
 
@@ -156,21 +195,18 @@ def point_add(p, q, ops: FieldOps):
     X2, Y2, Z2 = q
     add, sub = ops.add, ops.sub
 
-    t0, t1, t2, m3, m4, m5 = ops.mul_many(
-        [
-            (X1, X2),
-            (Y1, Y2),
-            (Z1, Z2),
-            (add(X1, Y1), add(X2, Y2)),
-            (add(Y1, Z1), add(Y2, Z2)),
-            (add(X1, Z1), add(X2, Z2)),
-        ]
+    sxy1, sxy2, syz1, syz2, sxz1, sxz2 = ops.add_many(
+        [(X1, Y1), (X2, Y2), (Y1, Z1), (Y2, Z2), (X1, Z1), (X2, Z2)]
     )
-    t3 = sub(m3, add(t0, t1))                # X1Y2 + X2Y1
-    t4 = sub(m4, add(t1, t2))                # Y1Z2 + Y2Z1
-    y3 = sub(m5, add(t0, t2))                # X1Z2 + X2Z1
-    x3 = add(t0, t0)
-    t0 = add(x3, t0)                         # 3*X1X2
+    t0, t1, t2, m3, m4, m5 = ops.mul_many(
+        [(X1, X2), (Y1, Y2), (Z1, Z2), (sxy1, sxy2), (syz1, syz2),
+         (sxz1, sxz2)]
+    )
+    a01, a12, a02, x3d = ops.add_many(
+        [(t0, t1), (t1, t2), (t0, t2), (t0, t0)]
+    )
+    t3, t4, y3 = ops.sub_many([(m3, a01), (m4, a12), (m5, a02)])
+    t0 = add(x3d, t0)                        # 3*X1X2
 
     b3c = ops.b3_const(t2)
     t2b, y3b = ops.mul_many([(t2, b3c), (y3, b3c)])
@@ -181,8 +217,7 @@ def point_add(p, q, ops: FieldOps):
         [(t4, y3b), (t3, t1), (y3b, t0), (t1, Z3), (t0, t3), (Z3, t4)]
     )
     X3 = sub(p1, p0)
-    Y3 = add(p3, p2)
-    Z3 = add(p5, p4)
+    Y3, Z3 = ops.add_many([(p3, p2), (p5, p4)])
     return (X3, Y3, Z3)
 
 

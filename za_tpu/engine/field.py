@@ -90,34 +90,75 @@ FQ = FpParams(_Q)
 # -- carry / compare primitives ----------------------------------------------
 
 
+def _shift_up(x):
+    """Shift limb vectors up by one position (toward higher limbs)."""
+    pad = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)[:-1]
+
+
+def _ks_resolve(e):
+    """Resolve single-bit ripple carries on digits e <= 2^16 + eps via a
+    Kogge-Stone parallel prefix over the limb axis (log2(L) fixed steps,
+    no sequential loop -- TPU While iterations are expensive).
+
+    e: (L, ...) uint32 with e[k] + 1 < 2^17; returns canonical digits,
+    dropping carry out of the top limb (callers guarantee it is zero)."""
+    L = e.shape[0]
+    g = (e >> LIMB_BITS).astype(jnp.uint32)  # generates carry (0/1)
+    p = ((e & MASK) == MASK).astype(jnp.uint32)  # propagates carry
+    # carry INTO limb k = prefix combine of (g, p) over limbs < k
+    shift = 1
+    while shift < L:
+        g_prev = jnp.pad(g, [(shift, 0)] + [(0, 0)] * (g.ndim - 1))[:-shift]
+        p_prev = jnp.pad(p, [(shift, 0)] + [(0, 0)] * (p.ndim - 1))[:-shift]
+        g = g | (p & g_prev)
+        p = p & p_prev
+        shift *= 2
+    carry_in = _shift_up(g)
+    return (e + carry_in) & MASK
+
+
 def carry_prop(cols):
-    """Exact carry propagation: (L, ...) uint32 columns (values < 2^32)
-    -> (L, ...) canonical 16-bit digits. The final carry must be zero
-    for in-range values (callers guarantee bounds). Implemented as a
-    lax.scan over the limb axis so the compiled graph stays small."""
-
-    def step(c, col):
-        v = col + c
-        return v >> LIMB_BITS, v & MASK
-
-    _, outs = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
-    return outs
+    """Exact carry propagation: (L, ...) uint32 columns (any values
+    < 2^32) -> (L, ...) canonical 16-bit digits. Two local split passes
+    bring digits to <= 2^16 + 2, then a Kogge-Stone pass resolves the
+    remaining binary ripple. Constant depth, no loops. The carry out of
+    the top limb must be zero (callers guarantee bounds)."""
+    e = (cols & MASK) + _shift_up(cols >> LIMB_BITS)
+    e = (e & MASK) + _shift_up(e >> LIMB_BITS)
+    return _ks_resolve(e)
 
 
 def sub_borrow(a, b):
-    """a - b with borrow chain; returns (digits, borrow_out in {0,1})."""
+    """a - b with borrow chain; returns (digits, borrow_out in {0,1}).
+
+    Implemented as a + ~b + 1 on 16-bit limb complements so the same
+    Kogge-Stone carry machinery applies; borrow = !carry_out."""
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
-
-    def step(br, ab):
-        x, y = ab
-        v = x.astype(jnp.int32) - y.astype(jnp.int32) - br
-        return (v < 0).astype(jnp.int32), (v & MASK).astype(jnp.uint32)
-
-    br0 = jnp.zeros(shape[1:], dtype=jnp.int32)
-    br, outs = jax.lax.scan(step, br0, (a, b))
-    return outs, br
+    L = a.shape[0]
+    e = a + (b ^ MASK)
+    e = e.at[0].add(1)
+    # limb sums <= 2^17 - 1: one local split pass, keeping the top carry
+    local_top = e[L - 1] >> LIMB_BITS
+    e = (e & MASK) + _shift_up(e >> LIMB_BITS)
+    # digits <= 2^16: Kogge-Stone for the remaining binary ripple
+    g = (e >> LIMB_BITS).astype(jnp.uint32)
+    p = ((e & MASK) == MASK).astype(jnp.uint32)
+    shift = 1
+    while shift < L:
+        g_prev = jnp.pad(g, [(shift, 0)] + [(0, 0)] * (g.ndim - 1))[:-shift]
+        p_prev = jnp.pad(p, [(shift, 0)] + [(0, 0)] * (p.ndim - 1))[:-shift]
+        g = g | (p & g_prev)
+        p = p & p_prev
+        shift *= 2
+    carry_in = _shift_up(g)
+    digits = (e + carry_in) & MASK
+    ks_top = (e[L - 1] + carry_in[L - 1]) >> LIMB_BITS
+    carry_out = (local_top + ks_top).astype(jnp.int32)  # in {0, 1}
+    borrow = 1 - carry_out
+    return digits, borrow
 
 
 def add_nocarry(a, b):

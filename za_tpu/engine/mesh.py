@@ -1,0 +1,299 @@
+"""Multi-chip sharding: MSM and NTT over a jax.sharding.Mesh.
+
+The communication design (SURVEY.md section 2.4):
+
+  * MSM: bases/scalars split per chip along the point-stream axis; each
+    chip runs local Pippenger bucket accumulation + lane reduction; the
+    per-window bucket arrays are combined across chips (all_gather over
+    ICI + local point-add reduce -- the point-group analogue of psum),
+    then weighted and Horner-combined identically on every chip.
+  * NTT: four-step decomposition n = n1*n2 with n1 = D devices: an
+    all_to_all redistributes between the decimated and contiguous
+    layouts; inner/outer NTTs are chip-local; the inter-factor twiddle
+    multiply is elementwise.
+
+Everything is shard_map over a 1-D mesh axis "d"; collectives ride ICI
+on real pods and the virtual CPU mesh in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curve import R
+from . import ec, field as F, msm as MSM, ntt as NTT
+from .field import FR
+
+AXIS = "d"
+
+
+def _pvary(tree):
+    """Mark a freshly-built constant pytree as device-varying so scan
+    carries type-check inside shard_map."""
+    try:
+        return jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, AXIS), tree)
+    except AttributeError:  # older jax: vma tracking absent
+        return tree
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+# -- sharded MSM --------------------------------------------------------------
+
+
+def _msm_local_window_buckets(px_py_pz, dw, ops, B, K, rows):
+    """Local bucket accumulation + lane reduce for one window
+    (the shard-local part of MSM.msm_limbs.window_sum)."""
+    lane_ids = jnp.arange(K, dtype=jnp.int32)
+    bucket_proto = jax.tree_util.tree_map(
+        lambda x: jnp.zeros(x.shape[:-1] + (B * K,), dtype=x.dtype), px_py_pz
+    )
+    is_g2 = isinstance(px_py_pz[0], tuple)
+    ident = _pvary(MSM.point_identity_like(bucket_proto[0], ops, is_g2))
+
+    def body(step, buckets):
+        idx = dw[step] * K + lane_ids
+        acc = jax.tree_util.tree_map(lambda x: x[..., idx], buckets)
+        pt = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, step * K, K, -1),
+            px_py_pz,
+        )
+        new = ec.point_add(acc, pt, ops)
+        return jax.tree_util.tree_map(
+            lambda b, v: b.at[..., idx].set(v, unique_indices=True),
+            buckets, new,
+        )
+
+    buckets = jax.lax.fori_loop(0, rows, body, ident)
+    buckets = jax.tree_util.tree_map(
+        lambda x: x.reshape(x.shape[:-1] + (B, K)), buckets
+    )
+    lanes_first = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, -1, 0), buckets
+    )
+    first = jax.tree_util.tree_map(lambda x: x[0], lanes_first)
+    rest = jax.tree_util.tree_map(lambda x: x[1:], lanes_first)
+
+    def lane_body(acc, lane):
+        return ec.point_add(acc, lane, ops), None
+
+    lane_sum, _ = jax.lax.scan(lane_body, first, rest)  # (.., B)
+    return lane_sum
+
+
+def msm_limbs_sharded(px_py_pz, scalars, ops, c: int, lanes: int):
+    """Shard-local body run under shard_map: local buckets, all_gather
+    bucket arrays over the mesh axis, reduce, weight, Horner."""
+    first_leaf = jax.tree_util.tree_leaves(px_py_pz)[0]
+    n_local = first_leaf.shape[-1]
+    B = 1 << c
+    K = min(lanes, n_local)
+    rows = -(-n_local // K)
+    is_g2 = isinstance(px_py_pz[0], tuple)
+
+    digits = MSM.digits_from_limbs(scalars, c)
+    windows = digits.shape[0]
+    digits = digits.reshape(windows, rows, K).astype(jnp.int32)[::-1]
+
+    def window_sum(dw):
+        local = _msm_local_window_buckets(px_py_pz, dw, ops, B, K, rows)
+        # combine bucket arrays across chips: gather + point-add reduce
+        gathered = jax.lax.all_gather(local, AXIS)  # (D, .., B)
+        fst = jax.tree_util.tree_map(lambda x: x[0], gathered)
+        rst = jax.tree_util.tree_map(lambda x: x[1:], gathered)
+
+        def dev_body(acc, dev):
+            return ec.point_add(acc, dev, ops), None
+
+        total, _ = jax.lax.scan(dev_body, fst, rst)
+        return MSM._weighted_bucket_sum(total, ops, B)
+
+    def scan_body(carry, dw):
+        shifted = jax.lax.fori_loop(
+            0, c, lambda _, p: ec.point_double(p, ops), carry
+        )
+        return ec.point_add(shifted, window_sum(dw), ops), None
+
+    ident1 = _pvary(
+        MSM.point_identity_like(
+            jax.tree_util.tree_map(lambda x: x[..., :1], px_py_pz)[0],
+            ops, is_g2,
+        )
+    )
+    result, _ = jax.lax.scan(scan_body, ident1, digits)
+    # every device computed the identical reduction; expose it with a
+    # leading device axis so the out_spec stays shard-varying (the vma
+    # checker cannot statically infer post-all_gather replication)
+    return jax.tree_util.tree_map(lambda x: x[None], result)
+
+
+def sharded_msm_fn(mesh: Mesh, ops, c: int, lanes: int, is_g2: bool):
+    """Build the jitted sharded MSM callable for given window params.
+
+    Inputs are sharded along the trailing point axis; every shard
+    computes the identical result (device 0's copy is returned)."""
+    if is_g2:
+        pt_spec = ((P(None, AXIS),) * 2,) * 3
+        out_spec = ((P(AXIS, None, None),) * 2,) * 3
+    else:
+        pt_spec = (P(None, AXIS),) * 3
+        out_spec = (P(AXIS, None, None),) * 3
+
+    fn = shard_map(
+        partial(msm_limbs_sharded, ops=ops, c=c, lanes=lanes),
+        mesh=mesh,
+        in_specs=(pt_spec, P(None, AXIS)),
+        out_specs=out_spec,
+    )
+
+    @jax.jit
+    def run(points, scalars):
+        out = fn(points, scalars)
+        return jax.tree_util.tree_map(lambda x: x[0], out)
+
+    return run
+
+
+# -- sharded four-step NTT ----------------------------------------------------
+
+
+class ShardedDomain:
+    """Tables for the four-step NTT of size n over D devices: n = D * n2.
+
+    Global data layout: contiguous shards of n/D elements per device.
+    Matrix view M[j1, j2] = x[j1 + D*j2] (decimation-in-time by D);
+    inner NTTs of size n2 run per j1-row (one row per device after an
+    all_to_all), the outer size-D NTTs across j1 are computed directly
+    as a dense twiddle contraction (D is small)."""
+
+    def __init__(self, size: int, n_devices: int):
+        assert size % (n_devices * n_devices) == 0, (
+            "four-step layout needs D^2 | n"
+        )
+        self.size = size
+        self.D = n_devices
+        self.n2 = size // n_devices
+        from ..groth16.domain import Domain
+
+        h = Domain(size)
+        self.omega = h.omega
+        self.sub = NTT.DeviceDomain(self.n2)  # per-row local domain
+
+        # inter-factor twiddles: w_n^(j1*k2) for the owned row j1 = device
+        # index; shape (D, 16, n2) uploaded sharded
+        tw = np.empty((n_devices, F.NLIMBS, self.n2), dtype=np.uint32)
+        tw_inv = np.empty_like(tw)
+        w = self.omega
+        winv = pow(w, R - 2, R)
+        for j1 in range(n_devices):
+            row = [
+                FR.to_mont_int(pow(w, j1 * k2, R)) for k2 in range(self.n2)
+            ]
+            tw[j1] = F.ints_to_limbs(row)
+            row_inv = [
+                FR.to_mont_int(pow(winv, j1 * k2, R)) for k2 in range(self.n2)
+            ]
+            tw_inv[j1] = F.ints_to_limbs(row_inv)
+        self.tw = tw
+        self.tw_inv = tw_inv
+
+        # outer size-D DFT matrices (Montgomery):  W[k1, j1] = w_D^(j1*k1)
+        wD = pow(self.omega, self.n2, R)
+        wDinv = pow(wD, R - 2, R)
+        self.WD = np.array(
+            [
+                [FR.to_mont_int(pow(wD, (j1 * k1) % n_devices, R))
+                 for j1 in range(n_devices)]
+                for k1 in range(n_devices)
+            ],
+            dtype=object,
+        )
+        self.WDinv = np.array(
+            [
+                [FR.to_mont_int(pow(wDinv, (j1 * k1) % n_devices, R))
+                 for j1 in range(n_devices)]
+                for k1 in range(n_devices)
+            ],
+            dtype=object,
+        )
+        self.size_inv = FR.to_mont_int(pow(size, R - 2, R))
+
+
+def _fourstep_local(x_loc, tw_loc, wd_row, sub_table, dd: "ShardedDomain",
+                    inverse: bool):
+    """Shard-local four-step NTT body (runs under shard_map).
+
+    x_loc:   (16, n2) contiguous shard of the input
+    tw_loc:  (1, 16, n2) this device's inter-factor twiddle row
+    wd_row:  (1, D, 16) this device's row of the size-D DFT matrix
+    returns the contiguous shard of the transform (natural order).
+    """
+    D, n2 = dd.D, dd.n2
+    # step A: contiguous -> decimated-by-D rows (all_to_all over ICI).
+    # Element t of the local shard is global g = d*n2 + t and belongs to
+    # row r = t mod D at column d*(n2/D) + t//D; swapping (q, r) makes
+    # each destination's piece contiguous for the same-axis all_to_all.
+    x2 = jnp.swapaxes(x_loc.reshape(F.NLIMBS, n2 // D, D), 1, 2)
+    row = jax.lax.all_to_all(x2, AXIS, split_axis=1, concat_axis=1)
+    row = row.reshape(F.NLIMBS, n2)
+    # step B: local size-n2 NTT over the owned row
+    row = NTT._ntt_core(row, sub_table, n2)
+    # step C: inter-factor twiddle
+    row = F.mont_mul(row, tw_loc[0], FR)
+    # step D: outer size-D DFT as a dense contraction over gathered rows
+    allrows = jax.lax.all_gather(row, AXIS)          # (D, 16, n2)
+    allrows = jnp.moveaxis(allrows, 0, 1)            # (16, D, n2)
+    w = jnp.transpose(wd_row[0], (1, 0))[..., None]  # (16, D, 1)
+    prods = F.mont_mul(allrows, jnp.broadcast_to(w, allrows.shape), FR)
+    out = prods[:, 0]
+    for j in range(1, D):
+        out = F.add_mod(out, prods[:, j], FR)
+    if inverse:
+        sinv = jnp.asarray(F.int_to_limbs(dd.size_inv))[:, None]
+        out = F.mont_mul(out, jnp.broadcast_to(sinv, out.shape), FR)
+    return out
+
+
+def _wd_limbs(mat_obj) -> np.ndarray:
+    D = mat_obj.shape[0]
+    out = np.empty((D, D, F.NLIMBS), dtype=np.uint32)
+    for i in range(D):
+        for j in range(D):
+            out[i, j] = F.int_to_limbs(int(mat_obj[i, j]))
+    return out
+
+
+def sharded_ntt_fn(mesh: Mesh, dd: ShardedDomain, inverse: bool = False):
+    """Jitted sharded NTT: (16, n) sharded on axis 1 -> same sharding.
+
+    Forward maps coefficients to evaluations (natural order), inverse
+    maps evaluations back to coefficients."""
+    tw = jnp.asarray(dd.tw_inv if inverse else dd.tw)
+    wd = jnp.asarray(_wd_limbs(dd.WDinv if inverse else dd.WD))
+    table = dd.sub.w_inv if inverse else dd.sub.w_fwd
+
+    def body(x_loc, tw_loc, wd_row):
+        return _fourstep_local(x_loc, tw_loc, wd_row, table, dd, inverse)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(AXIS, None, None), P(AXIS, None, None)),
+        out_specs=P(None, AXIS),
+    )
+
+    @jax.jit
+    def run(x):
+        return fn(x, tw, wd)
+
+    return run

@@ -228,3 +228,54 @@ def test_tpu_engine_prove_matches_host():
     p_host = prove(params, r1cs, z, r=13, s=17, engine=host)
     assert (p_dev.a, p_dev.b, p_dev.c) == (p_host.a, p_host.b, p_host.c)
     assert verify_proof(params.vk, p_dev, z[1 : r1cs.num_inputs])
+
+
+# -- fixed-base scalar multiplication (setup path) ---------------------------
+
+
+def test_fixed_base_g1():
+    import za_tpu.engine.msm as MSM
+    from za_tpu.engine.ec import G1_OPS
+
+    base = EC.g1_points_to_device([G1_GEN])
+    c = 5
+    tbl = jax.jit(lambda b: MSM.fixed_base_table(b, G1_OPS, c))(base)
+    scs = [0, 1, 2, R - 1, 123456789]
+    X, Y, Z = jax.jit(
+        lambda t, s: MSM.fixed_base_msm(t, s, G1_OPS, c)
+    )(tbl, F.ints_to_limbs(scs))
+    for j, s in enumerate(scs):
+        got = EC.g1_point_from_device(
+            np.asarray(X)[:, j], np.asarray(Y)[:, j], np.asarray(Z)[:, j]
+        )
+        assert got == g1_mul(G1_GEN, s)
+
+
+def test_device_setup_matches_host():
+    from za_tpu.algebra import FS, Value
+    from za_tpu.compiler import Evaluator, Mode
+    from za_tpu.compiler.evaluator import Scope
+    from za_tpu.groth16 import R1CS, generate_parameters
+
+    circuit = """
+    template t() {
+        signal private input a;
+        signal private input b;
+        signal output c;
+        c <== a * b;
+    }
+    component main = t();
+    """
+    ev = Evaluator(Mode.GEN_CONSTRAINTS)
+    ev.eval_inline(Scope(True, None, "root"), circuit)
+    r1cs = R1CS.from_constraints(ev.signals, ev.constraints, [])
+    eng = TpuEngine(lanes=8)
+    kw = dict(tau=11, alpha=3, beta=5, gamma=7, delta=9)
+    p_dev = generate_parameters(r1cs, engine=eng, **kw)
+    p_host = generate_parameters(r1cs, **kw)
+    assert p_dev.a == p_host.a
+    assert p_dev.b_g2 == p_host.b_g2
+    assert p_dev.h == p_host.h
+    assert p_dev.l == p_host.l
+    assert p_dev.vk.ic == p_host.vk.ic
+    assert p_dev.vk.alpha_g1 == p_host.vk.alpha_g1

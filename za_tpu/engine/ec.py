@@ -309,3 +309,74 @@ def g2_point_from_device(X, Y, Z):
         return None
     zinv = z.inv()
     return (x * zinv, y * zinv)
+
+
+# -- batched projective -> affine normalization (device) ----------------------
+
+
+def normalize_g1(X, Y, Z):
+    """Projective Montgomery -> plain affine + infinity mask, batched:
+    one Fermat inversion via a Montgomery batch-inverse chain."""
+    is_zero = jnp.all(Z == 0, axis=0)
+    one = _bcast(F.int_to_limbs(FQ.r_mod), Z)
+    z_safe = jnp.where(is_zero, jnp.broadcast_to(one, Z.shape), Z)
+    zinv = F.batch_inverse_mont(z_safe, FQ)
+    x = F.from_mont(F.mont_mul(X, zinv, FQ), FQ)
+    y = F.from_mont(F.mont_mul(Y, zinv, FQ), FQ)
+    return x, y, is_zero
+
+
+def normalize_g2(X, Y, Z):
+    """Fq2 projective -> plain affine + infinity mask (batched).
+    1/(z0 + z1 i) = (z0 - z1 i) / (z0^2 + z1^2)."""
+    z0, z1 = Z
+    is_zero = jnp.all(z0 == 0, axis=0) & jnp.all(z1 == 0, axis=0)
+    norm = F.add_mod(
+        F.mont_mul(z0, z0, FQ), F.mont_mul(z1, z1, FQ), FQ
+    )
+    one = _bcast(F.int_to_limbs(FQ.r_mod), norm)
+    norm_safe = jnp.where(is_zero, jnp.broadcast_to(one, norm.shape), norm)
+    ninv = F.batch_inverse_mont(norm_safe, FQ)
+    zinv = (F.mont_mul(z0, ninv, FQ), F.neg_mod(F.mont_mul(z1, ninv, FQ), FQ))
+    x = F.fq2_mul(X, zinv)
+    y = F.fq2_mul(Y, zinv)
+    return (
+        (F.from_mont(x[0], FQ), F.from_mont(x[1], FQ)),
+        (F.from_mont(y[0], FQ), F.from_mont(y[1], FQ)),
+        is_zero,
+    )
+
+
+def limbs_to_ints_fast(a: np.ndarray) -> list:
+    """(16, n) uint32 16-bit digits -> list of n ints (vectorized pack)."""
+    a = np.asarray(a)
+    packed = a.astype("<u2").T.copy().tobytes()  # n rows of 32 bytes LE
+    return [
+        int.from_bytes(packed[i * 32 : (i + 1) * 32], "little")
+        for i in range(a.shape[1])
+    ]
+
+
+def g1_batch_from_device(x_plain, y_plain, is_zero) -> list:
+    xs = limbs_to_ints_fast(np.asarray(x_plain))
+    ys = limbs_to_ints_fast(np.asarray(y_plain))
+    zeros = np.asarray(is_zero)
+    return [
+        None if zeros[j] else (xs[j], ys[j]) for j in range(len(xs))
+    ]
+
+
+def g2_batch_from_device(x_pair, y_pair, is_zero) -> list:
+    from ..curve import Fq2
+
+    x0 = limbs_to_ints_fast(np.asarray(x_pair[0]))
+    x1 = limbs_to_ints_fast(np.asarray(x_pair[1]))
+    y0 = limbs_to_ints_fast(np.asarray(y_pair[0]))
+    y1 = limbs_to_ints_fast(np.asarray(y_pair[1]))
+    zeros = np.asarray(is_zero)
+    return [
+        None
+        if zeros[j]
+        else (Fq2(x0[j], x1[j]), Fq2(y0[j], y1[j]))
+        for j in range(len(x0))
+    ]

@@ -41,25 +41,43 @@ def _enable_compilation_cache():
 
 
 class TpuEngine:
-    """Stateless facade; caches jitted kernels and device domains."""
+    """Stateless facade; caches jitted kernels and device domains.
 
-    def __init__(self, lanes: int = 256, window: int | None = None):
+    lanes/window default to throughput-oriented auto sizing; the
+    reduction style defaults to wide tree/associative passes on TPU
+    (sequential loop iterations are expensive there) and small-graph
+    scans elsewhere (XLA:CPU compile time dominates in tests)."""
+
+    def __init__(self, lanes: int | None = None, window: int | None = None,
+                 reduce_style: str | None = None):
         _enable_compilation_cache()
         self.lanes = lanes
         self.window = window
+        if reduce_style is None:
+            reduce_style = "tree" if jax.default_backend() == "tpu" else "scan"
+        self.reduce_style = reduce_style
         self._domains: dict[int, NTT.DeviceDomain] = {}
         self._jit_cache: dict = {}
 
     # -- MSM -----------------------------------------------------------------
 
-    def _msm_jit(self, kind: str, n: int, c: int):
-        key = (kind, n, c, self.lanes)
+    def _msm_params(self, n: int, is_g2: bool) -> tuple[int, int]:
+        c, lanes = MSM.auto_params(n, is_g2=is_g2)
+        if self.window is not None:
+            c = self.window
+        if self.lanes is not None:
+            lanes = self.lanes
+        return c, lanes
+
+    def _msm_jit(self, kind: str, n: int, c: int, lanes: int):
+        key = (kind, n, c, lanes, self.reduce_style)
         if key not in self._jit_cache:
             ops = ec.G1_OPS if kind == "g1" else ec.G2_OPS
 
             def run(points, scalars):
                 return MSM.msm_limbs(
-                    points, scalars, ops, c=c, lanes=self.lanes
+                    points, scalars, ops, c=c, lanes=lanes,
+                    reduce_style=self.reduce_style,
                 )
 
             self._jit_cache[key] = jax.jit(run)
@@ -72,8 +90,8 @@ class TpuEngine:
         scs = [s % R for s in scalars] + [0] * (n - len(scalars))
         dev_pts = ec.g1_points_to_device(pts)
         dev_scs = F.ints_to_limbs(scs)
-        c = self.window or MSM.pick_window(n)
-        X, Y, Z = self._msm_jit("g1", n, c)(dev_pts, dev_scs)
+        c, lanes = self._msm_params(n, is_g2=False)
+        X, Y, Z = self._msm_jit("g1", n, c, lanes)(dev_pts, dev_scs)
         return ec.g1_point_from_device(X, Y, Z)
 
     def msm_g2(self, points: list[G2Point], scalars: list[int]) -> G2Point:
@@ -83,9 +101,45 @@ class TpuEngine:
         scs = [s % R for s in scalars] + [0] * (n - len(scalars))
         dev_pts = ec.g2_points_to_device(pts)
         dev_scs = F.ints_to_limbs(scs)
-        c = self.window or MSM.pick_window(n)
-        X, Y, Z = self._msm_jit("g2", n, c)(dev_pts, dev_scs)
+        c, lanes = self._msm_params(n, is_g2=True)
+        X, Y, Z = self._msm_jit("g2", n, c, lanes)(dev_pts, dev_scs)
         return ec.g2_point_from_device(X, Y, Z)
+
+    # -- fixed-base scalar multiplication (trusted setup) --------------------
+
+    def _fixed_base_jit(self, kind: str, n: int, c: int):
+        key = ("fb", kind, n, c)
+        if key not in self._jit_cache:
+            ops = ec.G1_OPS if kind == "g1" else ec.G2_OPS
+
+            def run(base, scalars):
+                table = MSM.fixed_base_table(base, ops, c)
+                pts = MSM.fixed_base_msm(table, scalars, ops, c)
+                if kind == "g1":
+                    return ec.normalize_g1(*pts)
+                return ec.normalize_g2(*pts)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def fixed_base_g1(self, scalars: list[int], c: int = 8) -> list[G1Point]:
+        """[s_i * G1 for s_i] -- the setup's pk-query builder."""
+        from ..curve import G1_GEN
+
+        n = _pad_pow2ish(len(scalars))
+        scs = [s % R for s in scalars] + [0] * (n - len(scalars))
+        base = ec.g1_points_to_device([G1_GEN])
+        x, y, z = self._fixed_base_jit("g1", n, c)(base, F.ints_to_limbs(scs))
+        return ec.g1_batch_from_device(x, y, z)[: len(scalars)]
+
+    def fixed_base_g2(self, scalars: list[int], c: int = 8) -> list[G2Point]:
+        from ..curve import G2_GEN
+
+        n = _pad_pow2ish(len(scalars))
+        scs = [s % R for s in scalars] + [0] * (n - len(scalars))
+        base = ec.g2_points_to_device([G2_GEN])
+        x, y, z = self._fixed_base_jit("g2", n, c)(base, F.ints_to_limbs(scs))
+        return ec.g2_batch_from_device(x, y, z)[: len(scalars)]
 
     # -- QAP h(x) ------------------------------------------------------------
 

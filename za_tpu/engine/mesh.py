@@ -78,20 +78,11 @@ def _msm_local_window_buckets(px_py_pz, dw, ops, B, K, rows):
     buckets = jax.tree_util.tree_map(
         lambda x: x.reshape(x.shape[:-1] + (B, K)), buckets
     )
-    lanes_first = jax.tree_util.tree_map(
-        lambda x: jnp.moveaxis(x, -1, 0), buckets
-    )
-    first = jax.tree_util.tree_map(lambda x: x[0], lanes_first)
-    rest = jax.tree_util.tree_map(lambda x: x[1:], lanes_first)
-
-    def lane_body(acc, lane):
-        return ec.point_add(acc, lane, ops), None
-
-    lane_sum, _ = jax.lax.scan(lane_body, first, rest)  # (.., B)
-    return lane_sum
+    return buckets
 
 
-def msm_limbs_sharded(px_py_pz, scalars, ops, c: int, lanes: int):
+def msm_limbs_sharded(px_py_pz, scalars, ops, c: int, lanes: int,
+                      reduce_style: str = "scan"):
     """Shard-local body run under shard_map: local buckets, all_gather
     bucket arrays over the mesh axis, reduce, weight, Horner."""
     first_leaf = jax.tree_util.tree_leaves(px_py_pz)[0]
@@ -106,9 +97,10 @@ def msm_limbs_sharded(px_py_pz, scalars, ops, c: int, lanes: int):
     digits = digits.reshape(windows, rows, K).astype(jnp.int32)[::-1]
 
     def window_sum(dw):
-        local = _msm_local_window_buckets(px_py_pz, dw, ops, B, K, rows)
+        buckets = _msm_local_window_buckets(px_py_pz, dw, ops, B, K, rows)
+        lane_sum = MSM._lane_reduce(buckets, ops, K, reduce_style)  # (.., B)
         # combine bucket arrays across chips: gather + point-add reduce
-        gathered = jax.lax.all_gather(local, AXIS)  # (D, .., B)
+        gathered = jax.lax.all_gather(lane_sum, AXIS)  # (D, .., B)
         fst = jax.tree_util.tree_map(lambda x: x[0], gathered)
         rst = jax.tree_util.tree_map(lambda x: x[1:], gathered)
 
@@ -116,7 +108,7 @@ def msm_limbs_sharded(px_py_pz, scalars, ops, c: int, lanes: int):
             return ec.point_add(acc, dev, ops), None
 
         total, _ = jax.lax.scan(dev_body, fst, rst)
-        return MSM._weighted_bucket_sum(total, ops, B)
+        return MSM._weighted_bucket_sum(total, ops, B, reduce_style)
 
     def scan_body(carry, dw):
         shifted = jax.lax.fori_loop(
@@ -137,7 +129,8 @@ def msm_limbs_sharded(px_py_pz, scalars, ops, c: int, lanes: int):
     return jax.tree_util.tree_map(lambda x: x[None], result)
 
 
-def sharded_msm_fn(mesh: Mesh, ops, c: int, lanes: int, is_g2: bool):
+def sharded_msm_fn(mesh: Mesh, ops, c: int, lanes: int, is_g2: bool,
+                   reduce_style: str = "scan"):
     """Build the jitted sharded MSM callable for given window params.
 
     Inputs are sharded along the trailing point axis; every shard
@@ -150,7 +143,8 @@ def sharded_msm_fn(mesh: Mesh, ops, c: int, lanes: int, is_g2: bool):
         out_spec = (P(AXIS, None, None),) * 3
 
     fn = shard_map(
-        partial(msm_limbs_sharded, ops=ops, c=c, lanes=lanes),
+        partial(msm_limbs_sharded, ops=ops, c=c, lanes=lanes,
+                reduce_style=reduce_style),
         mesh=mesh,
         in_specs=(pt_spec, P(None, AXIS)),
         out_specs=out_spec,

@@ -83,12 +83,26 @@ def _tree_reduce(pts, ops: FieldOps, axis_len: int):
     return pts
 
 
-def _weighted_bucket_sum(buckets, ops: FieldOps, B: int):
-    """sum_{b=1}^{B-1} b * bucket_b via the classic running/total scan
-    (sequential over buckets high-to-low: running += bucket_b;
-    total += running). One point-add pair in the compiled graph.
+def _weighted_bucket_sum(buckets, ops: FieldOps, B: int,
+                         style: str = "scan"):
+    """sum_{b=1}^{B-1} b * bucket_b; trailing axis B -> trailing axis 1.
 
-    buckets: point pytree with trailing axis B; returns trailing axis 1."""
+    style='scan': the classic running/total sequential scan -- tiny
+    compiled graph, O(B) loop iterations (CPU tests).
+    style='tree': suffix sums via associative scan + tree reduction --
+    log(B) wide passes, no sequential loop (TPU runtime)."""
+    if style == "tree":
+        tail = jax.tree_util.tree_map(lambda x: x[..., 1:], buckets)
+
+        def add_fn(a, b):
+            return point_add(a, b, ops)
+
+        axis = jax.tree_util.tree_leaves(tail)[0].ndim - 1
+        suffix = jax.lax.associative_scan(
+            add_fn, tail, reverse=True, axis=axis
+        )
+        return _tree_reduce(suffix, ops, B - 1)
+
     tail = jax.tree_util.tree_map(
         lambda x: jnp.moveaxis(x[..., 1:], -1, 0)[::-1, ..., None], buckets
     )  # (B-1, ..., 1) high bucket first
@@ -105,8 +119,39 @@ def _weighted_bucket_sum(buckets, ops: FieldOps, B: int):
     return total
 
 
+def _lane_reduce(buckets, ops: FieldOps, K: int, style: str = "scan"):
+    """Combine the K per-lane bucket arrays: (.., B, K) -> (.., B)."""
+    if style == "tree":
+        red = _tree_reduce(buckets, ops, K)  # (.., B, 1)
+        return jax.tree_util.tree_map(lambda x: x[..., 0], red)
+    lanes_first = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, -1, 0), buckets
+    )  # (K, .., B)
+    first = jax.tree_util.tree_map(lambda x: x[0], lanes_first)
+    rest = jax.tree_util.tree_map(lambda x: x[1:], lanes_first)
+
+    def lane_body(acc, lane):
+        return point_add(acc, lane, ops), None
+
+    lane_sum, _ = jax.lax.scan(lane_body, first, rest)
+    return lane_sum
+
+
+def auto_params(n: int, bytes_budget: int = 600 << 20,
+                is_g2: bool = False) -> tuple[int, int]:
+    """(window c, lanes K) sized for throughput on a real chip: enough
+    lanes that each sequential bucket step saturates the VPU, window
+    capped so the (B, K) bucket matrix fits the memory budget."""
+    lanes = max(8, min(8192, n // 8))
+    point_bytes = (6 if is_g2 else 3) * 64
+    c = pick_window(n)
+    while c > 2 and (1 << c) * lanes * point_bytes > bytes_budget:
+        c -= 1
+    return c, lanes
+
+
 def msm_limbs(px_py_pz, scalars, ops: FieldOps, c: int | None = None,
-              lanes: int = 256):
+              lanes: int = 256, reduce_style: str = "scan"):
     """MSM over projective Montgomery points and plain u16-limb scalars.
 
     px_py_pz: point pytree (X, Y, Z), each leaf (16, n)
@@ -168,18 +213,8 @@ def msm_limbs(px_py_pz, scalars, ops: FieldOps, c: int | None = None,
         buckets = jax.tree_util.tree_map(
             lambda x: x.reshape(x.shape[:-1] + (B, K)), buckets
         )
-        # reduce the K lane-bucket arrays with a scan (1 add in the graph)
-        lanes_first = jax.tree_util.tree_map(
-            lambda x: jnp.moveaxis(x, -1, 0), buckets
-        )  # (K, .., B)
-        first = jax.tree_util.tree_map(lambda x: x[0], lanes_first)
-        rest = jax.tree_util.tree_map(lambda x: x[1:], lanes_first)
-
-        def lane_body(acc, lane):
-            return point_add(acc, lane, ops), None
-
-        lane_sum, _ = jax.lax.scan(lane_body, first, rest)  # (.., B)
-        return _weighted_bucket_sum(lane_sum, ops, B)  # (.., 1)
+        lane_sum = _lane_reduce(buckets, ops, K, reduce_style)  # (.., B)
+        return _weighted_bucket_sum(lane_sum, ops, B, reduce_style)
 
     # Horner over windows, MSB first; one compiled window body (lax.scan)
     def scan_body(carry, dw):
@@ -193,3 +228,118 @@ def msm_limbs(px_py_pz, scalars, ops: FieldOps, c: int | None = None,
     )
     result, _ = jax.lax.scan(scan_body, ident1, digits)
     return result
+
+
+# -- fixed-base batch scalar multiplication (trusted setup) -------------------
+# The setup's pk queries are thousands-to-millions of scalar multiples of
+# the SAME generator (u_i(tau)*G1 etc., SURVEY.md section 2.3): a window
+# table of generator multiples turns each into `windows` gathered adds.
+
+
+def generator_doubles(base_point_dev, ops: FieldOps):
+    """D_i = 2^i * G for i in 0..SCALAR_BITS (one scan of doublings);
+    returns a pytree with leading axis SCALAR_BITS+1, trailing dim 1."""
+
+    def body(cur, _):
+        return point_add(cur, cur, ops), cur
+
+    _, doubles = jax.lax.scan(
+        body, base_point_dev, None, length=SCALAR_BITS + 1
+    )
+    return doubles  # [i] = 2^i * G
+
+
+def fixed_base_table(base_point_dev, ops: FieldOps, c: int):
+    """T[w, d] = d * 2^(c*w) * G as a pytree with leading (windows,) and
+    trailing (B,) axes. Built from the doubling ladder with c masked
+    B-wide add passes per window (one compiled body via scan)."""
+    windows = (SCALAR_BITS + c - 1) // c
+    B = 1 << c
+    is_g2 = isinstance(base_point_dev[0], tuple)
+    doubles = generator_doubles(base_point_dev, ops)
+    # bit masks: bit j of digit d, shaped (c, B)
+    d_ids = np.arange(B, dtype=np.int64)
+    bits = np.stack([(d_ids >> j) & 1 for j in range(c)]).astype(bool)
+    bits_dev = jnp.asarray(bits)
+
+    ident_B = point_identity_like(
+        jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape[1:-1] + (B,), dtype=x.dtype), doubles
+        )[0],
+        ops, is_g2,
+    )
+
+    def per_window(w_doubles):
+        """w_doubles: pytree of the c ladder points for this window."""
+
+        def bit_body(j, acc):
+            dj = jax.tree_util.tree_map(lambda x: x[j], w_doubles)  # (.., 1)
+            added = point_add(
+                acc,
+                jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(
+                        x, x.shape[:-1] + (B,)
+                    ),
+                    dj,
+                ),
+                ops,
+            )
+            mask = bits_dev[j]  # (B,) bool
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(mask, a, b), added, acc
+            )
+
+        return jax.lax.fori_loop(0, c, bit_body, ident_B), None
+
+    # group the ladder into per-window slices (windows, c, .., 1); the
+    # last window may run past bit 254 -- pad the ladder with identity
+    pad = windows * c - (SCALAR_BITS + 1)
+    if pad > 0:
+        ident1 = point_identity_like(
+            jax.tree_util.tree_map(lambda x: x[0], doubles)[0], ops, is_g2
+        )
+        extra = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                x[None], (pad,) + x.shape
+            ),
+            ident1,
+        )
+        doubles = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), doubles, extra
+        )
+    else:
+        doubles = jax.tree_util.tree_map(
+            lambda x: x[: windows * c], doubles
+        )
+    grouped = jax.tree_util.tree_map(
+        lambda x: x.reshape((windows, c) + x.shape[1:]), doubles
+    )
+    _, table = jax.lax.scan(
+        lambda carry, wd: (carry, per_window(wd)[0]), 0, grouped
+    )
+    return table  # leading (windows,), trailing (B,)
+
+
+def fixed_base_msm(table, scalars, ops: FieldOps, c: int):
+    """points_i = scalars_i * G via the window table: `windows` gathered
+    B->n point adds, fully batched over n.
+
+    scalars: (16, n) plain u16 limbs; returns projective pytree with
+    trailing axis n."""
+    digits = digits_from_limbs(scalars, c).astype(jnp.int32)  # (windows, n)
+    n = scalars.shape[-1]
+    is_g2 = isinstance(table[0], tuple)
+    ident = point_identity_like(
+        jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape[1:-1] + (n,), dtype=x.dtype), table
+        )[0],
+        ops, is_g2,
+    )
+
+    def body(acc, wd):
+        tbl_w, dig_w = wd
+        pts = jax.tree_util.tree_map(lambda x: x[..., dig_w], tbl_w)
+        return point_add(acc, pts, ops), None
+
+    acc, _ = jax.lax.scan(body, ident, (table, digits))
+    return acc

@@ -62,7 +62,7 @@ def setup(
     log.info("Running setup")
     start = time.monotonic()
     r1cs = R1CS.from_constraints(signals, constraints, removed_signals)
-    params = generate_parameters(r1cs)
+    params = generate_parameters(r1cs, engine=engine)
     log.info("Setup time: %.3fs", time.monotonic() - start)
 
     start = time.monotonic()

@@ -74,8 +74,12 @@ def generate_parameters(
     beta: int | None = None,
     gamma: int | None = None,
     delta: int | None = None,
+    engine=None,
 ) -> Groth16Parameters:
-    """Random toxic waste unless explicitly provided (deterministic tests)."""
+    """Random toxic waste unless explicitly provided (deterministic
+    tests). With an engine, the pk query points are built by device
+    fixed-base batch scalar multiplication; otherwise host scalar muls
+    (fine for small circuits, exact either way)."""
 
     def rand_fr() -> int:
         while True:
@@ -96,38 +100,47 @@ def generate_parameters(
     gamma_inv, delta_inv = batch_inverse([gamma, delta])
     z_tau = (pow(tau, m, R) - 1) % R
 
-    def g1(s: int) -> G1Point:
-        return g1_mul(G1_GEN, s % R)
-
-    def g2(s: int) -> G2Point:
-        return g2_mul(G2_GEN, s % R)
-
     ni = r1cs.num_inputs
-    ic = [
-        g1((beta * u[i] + alpha * v[i] + w[i]) * gamma_inv % R)
-        for i in range(ni)
+    ic_s = [
+        (beta * u[i] + alpha * v[i] + w[i]) * gamma_inv % R for i in range(ni)
     ]
-    l = [
-        g1((beta * u[i] + alpha * v[i] + w[i]) * delta_inv % R)
+    l_s = [
+        (beta * u[i] + alpha * v[i] + w[i]) * delta_inv % R
         for i in range(ni, r1cs.num_vars)
     ]
-    a = [g1(u[i]) for i in range(r1cs.num_vars)]
-    b_g1 = [g1(v[i]) for i in range(r1cs.num_vars)]
-    b_g2 = [g2(v[i]) for i in range(r1cs.num_vars)]
-
-    h = []
+    h_s = []
     p = z_tau * delta_inv % R
     for _ in range(m - 1):
-        h.append(g1(p))
+        h_s.append(p)
         p = p * tau % R
 
+    if engine is not None:
+        g1_batch = engine.fixed_base_g1
+        g2_batch = engine.fixed_base_g2
+    else:
+
+        def g1_batch(scalars):
+            return [g1_mul(G1_GEN, s % R) for s in scalars]
+
+        def g2_batch(scalars):
+            return [g2_mul(G2_GEN, s % R) for s in scalars]
+
+    ic = g1_batch(ic_s)
+    l = g1_batch(l_s)
+    a = g1_batch(u)
+    b_g1 = g1_batch(v)
+    h = g1_batch(h_s)
+    b_g2 = g2_batch(v)
+    alpha_g1, beta_g1, delta_g1 = g1_batch([alpha, beta, delta])
+    beta_g2, gamma_g2, delta_g2 = g2_batch([beta, gamma, delta])
+
     vk = VerifyingKey(
-        alpha_g1=g1(alpha),
-        beta_g1=g1(beta),
-        beta_g2=g2(beta),
-        gamma_g2=g2(gamma),
-        delta_g1=g1(delta),
-        delta_g2=g2(delta),
+        alpha_g1=alpha_g1,
+        beta_g1=beta_g1,
+        beta_g2=beta_g2,
+        gamma_g2=gamma_g2,
+        delta_g1=delta_g1,
+        delta_g2=delta_g2,
         ic=ic,
     )
     return Groth16Parameters(

@@ -96,13 +96,19 @@ def main():
 
     eng = TpuEngine(lanes=lanes)
 
+    def stage(name, f):
+        t = time.time()
+        r = f()
+        print(f"#   {name}: {time.time()-t:.2f}s", file=sys.stderr, flush=True)
+        return r
+
     def prove_compute():
-        h = eng.h_coeffs(r1cs, z, domain)
-        pa = eng.msm_g1(a_q, z)
-        pb1 = eng.msm_g1(b1_q, z)
-        pl = eng.msm_g1(l_q, z[r1cs.num_inputs:])
-        ph = eng.msm_g1(h_q, h)
-        pb2 = eng.msm_g2(b2_q, z)
+        h = stage("h_coeffs", lambda: eng.h_coeffs(r1cs, z, domain))
+        pa = stage("msm_a", lambda: eng.msm_g1(a_q, z))
+        pb1 = stage("msm_b1", lambda: eng.msm_g1(b1_q, z))
+        pl = stage("msm_l", lambda: eng.msm_g1(l_q, z[r1cs.num_inputs:]))
+        ph = stage("msm_h", lambda: eng.msm_g1(h_q, h))
+        pb2 = stage("msm_b2", lambda: eng.msm_g2(b2_q, z))
         return pa, pb1, pl, ph, pb2
 
     t0 = time.time()

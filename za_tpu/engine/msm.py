@@ -400,6 +400,191 @@ def fixed_base_msm(table, scalars, ops: FieldOps, c: int):
     acc, _ = jax.lax.scan(body, ident, (table, digits))
     return acc
 
+# -- grouped window-parallel MSM ----------------------------------------------
+# The per-window formulation above runs windows sequentially (Horner),
+# so every window pays the accumulation loop's and the reductions'
+# dispatch latency separately -- at small/medium n the MSM becomes
+# latency-bound. Here ALL windows of ALL (same-size) MSMs accumulate
+# in one pass: the bucket store gains leading (M, W) axes, each
+# accumulation step batches M*W*K points, the lane/bucket reductions
+# run once over wide arrays, and only the final Horner window combine
+# (c doublings per window on batch-M points) is sequential.
+
+
+def _pack_point_md(pt):
+    """point pytree with leaves (16, ...) -> (..., limbs*coords)."""
+    leaves = jax.tree_util.tree_leaves(pt)
+    return jnp.concatenate([jnp.moveaxis(l, 0, -1) for l in leaves], axis=-1)
+
+
+def _unpack_point_md(packed, is_g2: bool):
+    """(..., limbs*coords) -> point pytree with leaves (16, ...)."""
+    cols = [
+        jnp.moveaxis(packed[..., i * F.NLIMBS : (i + 1) * F.NLIMBS], -1, 0)
+        for i in range(packed.shape[-1] // F.NLIMBS)
+    ]
+    if is_g2:
+        return ((cols[0], cols[1]), (cols[2], cols[3]), (cols[4], cols[5]))
+    return (cols[0], cols[1], cols[2])
+
+
+#: max simultaneous point additions in one wide pass -- bounds XLA temp
+#: memory (a point_add holds several (32, batch) u32 temps: ~800B/point)
+FOLD_CAP = 1 << 18
+
+
+def auto_params_grouped(n: int, M: int, is_g2: bool = False,
+                        bytes_budget: int = 4 << 30) -> tuple[int, int]:
+    """(window c, lanes K) for the grouped MSM.
+
+    Cost model: the accumulation loop is n/K sequential steps (the
+    dominant latency at any size), reductions are wide passes whose
+    work M*W*B*K must stay small next to n*W*M, and the bucket store
+    M*W*B*K points must fit the memory budget."""
+    point_bytes = (6 if is_g2 else 3) * F.NLIMBS * 4
+
+    def W(c):
+        return (SCALAR_BITS + c - 1) // c
+
+    c = pick_window(n)
+    # weighted-bucket-sum passes run at batch M*W*B: keep them foldable
+    while c > 2 and M * W(c) * (1 << c) > FOLD_CAP:
+        c -= 1
+    B = 1 << c
+    lanes = 512
+    # bucket memory and reduction-work caps (reduction work stays under
+    # ~n/4 adds per window beyond a 64k floor where it is trivial)
+    while lanes > 8 and (
+        M * W(c) * B * lanes * point_bytes > bytes_budget
+        or B * lanes > max(n // 4, 1 << 16)
+    ):
+        lanes //= 2
+    return c, lanes
+
+
+def msm_limbs_grouped(points, scalars, ops: FieldOps, c: int,
+                      lanes: int, reduce_style: str = "tree"):
+    """M same-size MSMs at once, all windows in parallel.
+
+    points:  point pytree, leaves (16, M, n) (projective Montgomery)
+    scalars: (16, M, n) uint32 plain-form 16-bit digits
+    returns point pytree with leaves (16, M).
+    """
+    first_leaf = jax.tree_util.tree_leaves(points)[0]
+    M, n = first_leaf.shape[1], first_leaf.shape[2]
+    B = 1 << c
+    K = min(lanes, n)
+    rows = -(-n // K)
+    n_pad = rows * K
+    is_g2 = isinstance(points[0], tuple)
+
+    if n_pad != n:
+        pad = n_pad - n
+
+        def padp(x):
+            return jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (pad,), dtype=x.dtype)], axis=-1
+            )
+
+        points = jax.tree_util.tree_map(padp, points)
+        scalars = padp(scalars)
+
+    # digits: (16, M, n_pad) -> (W, M*n_pad) -> (rows, M, W, K)
+    digits = digits_from_limbs(scalars.reshape(F.NLIMBS, M * n_pad), c)
+    W = digits.shape[0]
+    digits = (
+        digits.reshape(W, M, rows, K)
+        .transpose(2, 1, 0, 3)
+        .astype(jnp.int32)
+    )  # (rows, M, W, K), windows LSB-first
+
+    pts_packed = _pack_point_md(points)  # (M, n_pad, cols)
+    cols = pts_packed.shape[-1]
+
+    ident_mw = point_identity_like(
+        jax.tree_util.tree_map(
+            lambda x: jnp.zeros((F.NLIMBS, M, W, B * K), dtype=x.dtype),
+            points,
+        )[0],
+        ops, is_g2,
+    )
+    buckets0 = _pack_point_md(ident_mw)  # (M, W, B*K, cols)
+
+    lane_ids = jnp.arange(K, dtype=jnp.int32)
+    m_ids = jnp.arange(M)[:, None, None]
+    w_ids = jnp.arange(W)[None, :, None]
+
+    def body(step, buckets):
+        d = jax.lax.dynamic_index_in_dim(
+            digits, step, 0, keepdims=False
+        )  # (M, W, K)
+        idx = d * K + lane_ids
+        acc = _unpack_point_md(buckets[m_ids, w_ids, idx], is_g2)
+        pts = jax.lax.dynamic_slice_in_dim(
+            pts_packed, step * K, K, 1
+        )  # (M, K, cols)
+        pts = jnp.broadcast_to(pts[:, None], (M, W, K, cols))
+        new = point_add(acc, _unpack_point_md(pts, is_g2), ops)
+        return buckets.at[m_ids, w_ids, idx].set(
+            _pack_point_md(new), unique_indices=True
+        )
+
+    buckets = jax.lax.fori_loop(0, rows, body, buckets0)
+    # (M, W, B*K, cols) -> leaves (16, M, W, B, K)
+    pt_buckets = _unpack_point_md(
+        buckets.reshape(M, W, B, K, cols), is_g2
+    )
+
+    # fold the lane axis down in fixed-shape scan chunks first so no
+    # single wide pass exceeds FOLD_CAP simultaneous point adds (the
+    # tree/scan reductions below then stay within temp-memory bounds)
+    group = M * W * B
+    K_cur = K
+    K1 = K_cur
+    while K1 > 1 and K1 % 2 == 0 and group * K1 > FOLD_CAP:
+        K1 //= 2
+    if K1 < K_cur:
+        K2 = K_cur // K1
+
+        def to_chunks(x):
+            x = x.reshape(x.shape[:-1] + (K1, K2))
+            return jnp.moveaxis(x, -1, 0)  # (K2, ..., K1)
+
+        chunked = jax.tree_util.tree_map(to_chunks, pt_buckets)
+        first = jax.tree_util.tree_map(lambda x: x[0], chunked)
+        rest = jax.tree_util.tree_map(lambda x: x[1:], chunked)
+
+        def fold(carry, sl):
+            return point_add(carry, sl, ops), None
+
+        pt_buckets, _ = jax.lax.scan(fold, first, rest)
+        K_cur = K1
+
+    lane_sum = _lane_reduce(pt_buckets, ops, K_cur, reduce_style)  # (.., B)
+    wsum = _weighted_bucket_sum(lane_sum, ops, B, reduce_style)
+    # trailing axis 1 (tree) or none (scan) -> leaves (16, M, W)
+    wsum = jax.tree_util.tree_map(
+        lambda x: x.reshape((F.NLIMBS, M, W)), wsum
+    )
+
+    # Horner over windows, MSB first, batch M
+    per_w = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, -1, 0)[::-1], wsum
+    )  # leaves (W, 16, M)
+
+    def horner(carry, ws):
+        shifted = jax.lax.fori_loop(
+            0, c, lambda _, p: point_double(p, ops), carry
+        )
+        return point_add(shifted, ws, ops), None
+
+    ident_m = point_identity_like(
+        jax.tree_util.tree_map(lambda x: x[0], per_w)[0], ops, is_g2
+    )
+    result, _ = jax.lax.scan(horner, ident_m, per_w)
+    return result
+
+
 # -- packed bucket storage ----------------------------------------------------
 # The bucket accumulation gathers/scatters K arbitrary rows per step.
 # Limb-major arrays make that a per-ELEMENT lane gather (slow on TPU);

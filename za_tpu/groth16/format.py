@@ -193,7 +193,12 @@ def _r_u32be(f: BinaryIO) -> int:
     return struct.unpack(">I", f.read(4))[0]
 
 
-def write_parameters(f: BinaryIO, params: Groth16Parameters):
+def write_parameters(f: BinaryIO, params: Groth16Parameters,
+                     densities=None):
+    """bellman `Parameters::write` layout. With densities=(a_d, b_d)
+    (from R1CS.densities) the a/b_g1/b_g2 query vectors are
+    density-filtered exactly as bellman's DensityTracker stores them;
+    without, full per-variable vectors are written (in-memory/legacy)."""
     vk = params.vk
     f.write(g1_to_bytes(vk.alpha_g1))
     f.write(g1_to_bytes(vk.beta_g1))
@@ -204,16 +209,21 @@ def write_parameters(f: BinaryIO, params: Groth16Parameters):
     _w_u32be(f, len(vk.ic))
     for p in vk.ic:
         f.write(g1_to_bytes(p))
-    for vec in (params.h, params.l, params.a, params.b_g1):
+
+    a, b_g1, b_g2 = params.a, params.b_g1, params.b_g2
+    if densities is not None:
+        a_d, b_d = densities
+        a = [p for p, d in zip(a, a_d) if d]
+        b_g1 = [p for p, d in zip(b_g1, b_d) if d]
+        b_g2 = [p for p, d in zip(b_g2, b_d) if d]
+
+    for vec in (params.h, params.l, a, b_g1):
         _w_u32be(f, len(vec))
         for p in vec:
             f.write(g1_to_bytes(p))
-    _w_u32be(f, len(params.b_g2))
-    for p in params.b_g2:
+    _w_u32be(f, len(b_g2))
+    for p in b_g2:
         f.write(g2_to_bytes(p))
-    # domain size trailer (za-tpu extension; bellman derives it from
-    # h-query length at read time, we verify consistency)
-    _w_u32be(f, params.domain_size)
 
 
 def read_parameters(f: BinaryIO) -> Groth16Parameters:
@@ -276,6 +286,7 @@ def write_pk(
     constraints: Constraints,
     ignore_signals: list[int],
     params: Groth16Parameters,
+    densities=None,
 ):
     ast_serial = bincode.serialize_asts(asts)
     _w_u32be(f, len(ast_serial))
@@ -291,7 +302,7 @@ def write_pk(
     for s in ignore_signals:
         _w_u32be(f, s)
 
-    write_parameters(f, params)
+    write_parameters(f, params, densities=densities)
 
 
 def read_pk(f: BinaryIO) -> ProvingKey:

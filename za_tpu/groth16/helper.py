@@ -67,7 +67,10 @@ def setup(
 
     start = time.monotonic()
     with open(proving_key_path, "wb") as f:
-        fmt.write_pk(f, ev.collected_asts, constraints, removed_signals, params)
+        fmt.write_pk(
+            f, ev.collected_asts, constraints, removed_signals, params,
+            densities=r1cs.densities(),
+        )
     log.info("Proving key write time: %.3fs", time.monotonic() - start)
 
     inputs = signals.main_public_input_names()
@@ -126,14 +129,17 @@ def generate_verified_proof(
     """Constraint check -> proof -> self-verify -> proof.json
     (prover.rs:139-208)."""
     start = time.monotonic()
-    constraints.satisfies_with_signals(signals)
+    r1cs = R1CS.from_constraints(signals, constraints, ignore_signals)
+    z = r1cs.assignment_from_signals(signals)
+    if engine is not None and hasattr(engine, "r1cs_satisfied"):
+        if not engine.r1cs_satisfied(r1cs, z):  # device sparse matvec
+            raise RuntimeError("constraints not satisfied by witness")
+    else:
+        constraints.satisfies_with_signals(signals)
     log.info(
         "Constraint check time: %.3fs for %d constraint",
         time.monotonic() - start, len(constraints),
     )
-
-    r1cs = R1CS.from_constraints(signals, constraints, ignore_signals)
-    z = r1cs.assignment_from_signals(signals)
 
     start = time.monotonic()
     r, s = deterministic_rs if deterministic_rs is not None else (None, None)

@@ -87,25 +87,41 @@ def prove(
     r = r if r is not None else secrets.randbelow(R)
     s = s if s is not None else secrets.randbelow(R)
 
+    from .setup import expand_queries
+
+    params = expand_queries(params, r1cs)  # undo pk density filtering
+
     domain = Domain(params.domain_size)
-    h = engine.h_coeffs(r1cs, z, domain)
+    if hasattr(engine, "h_coeffs_limbs"):
+        h = engine.h_coeffs_limbs(r1cs, z, domain)  # stays in limb form
+    else:
+        h = engine.h_coeffs(r1cs, z, domain)
 
     ni = r1cs.num_inputs
     vk = params.vk
 
+    if hasattr(engine, "msm_g1_many") and getattr(engine, "use_grouped", False):
+        # one grouped window-parallel kernel for the four G1 MSMs
+        a_acc, b_acc_g1, l_acc, h_acc = engine.msm_g1_many(
+            [params.a, params.b_g1, params.l, params.h],
+            [z, z, z[ni:], h],
+        )
+        b_acc_g2 = engine.msm_g2(params.b_g2, z)
+    else:
+        a_acc = engine.msm_g1(params.a, z)
+        b_acc_g2 = engine.msm_g2(params.b_g2, z)
+        b_acc_g1 = engine.msm_g1(params.b_g1, z)
+        l_acc = engine.msm_g1(params.l, z[ni:])
+        h_acc = engine.msm_g1(params.h, h)
+
     # A = alpha + sum z_i u_i(tau) + r*delta
-    a_acc = engine.msm_g1(params.a, z)
     proof_a = g1_add(g1_add(vk.alpha_g1, a_acc), g1_mul(vk.delta_g1, r))
 
     # B = beta + sum z_i v_i(tau) + s*delta  (G2), B1 same in G1
-    b_acc_g2 = engine.msm_g2(params.b_g2, z)
     proof_b = g2_add(g2_add(vk.beta_g2, b_acc_g2), g2_mul(vk.delta_g2, s))
-    b_acc_g1 = engine.msm_g1(params.b_g1, z)
     b1 = g1_add(g1_add(vk.beta_g1, b_acc_g1), g1_mul(vk.delta_g1, s))
 
     # C = sum_aux z_i L_i + sum h_i H_i + s*A + r*B1 - r*s*delta
-    l_acc = engine.msm_g1(params.l, z[ni:])
-    h_acc = engine.msm_g1(params.h, h)
     c = g1_add(l_acc, h_acc)
     c = g1_add(c, g1_mul(proof_a, s))
     c = g1_add(c, g1_mul(b1, r))

@@ -132,3 +132,24 @@ class R1CS:
     def is_satisfied(self, z: list[int]) -> bool:
         az, bz, cz = self.eval_constraints(z)
         return all((a * b - c) % FIELD_R == 0 for a, b, c in zip(az, bz, cz))
+
+    def densities(self) -> tuple[list[bool], list[bool]]:
+        """Per-variable A/B density bitmaps, matching bellman's
+        DensityTracker semantics (bellman_ce prover/generator): a
+        variable is A-dense if it appears with nonzero coefficient in
+        any A row OR is an input (the generator's per-input dummy
+        constraints make every input A-dense); B-dense if it appears in
+        any B row. The pk's a/b query vectors store only dense entries."""
+        a_d = [False] * self.num_vars
+        b_d = [False] * self.num_vars
+        for i in range(self.num_inputs):
+            a_d[i] = True
+        for row in self.a_rows:
+            for var, coeff in row:
+                if coeff % FIELD_R:
+                    a_d[var] = True
+        for row in self.b_rows:
+            for var, coeff in row:
+                if coeff % FIELD_R:
+                    b_d[var] = True
+        return a_d, b_d

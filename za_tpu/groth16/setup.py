@@ -67,6 +67,41 @@ def qap_evals_at_tau(r1cs: R1CS, tau: int, domain: Domain):
     return u, v, w
 
 
+def expand_queries(params: Groth16Parameters, r1cs: R1CS) -> Groth16Parameters:
+    """Undo bellman's density filtering: a pk read from disk stores only
+    density-selected a/b query points (format.write_parameters); the
+    prover wants full per-variable vectors (None at non-dense slots).
+    No-op if the vectors are already full."""
+    nv = r1cs.num_vars
+    if (
+        len(params.a) == nv
+        and len(params.b_g1) == nv
+        and len(params.b_g2) == nv
+    ):
+        return params
+    a_d, b_d = r1cs.densities()
+
+    def expand(vec, dense):
+        if len(vec) == len(dense):
+            return vec
+        if len(vec) != sum(dense):
+            raise ValueError(
+                f"query length {len(vec)} matches neither num_vars "
+                f"{len(dense)} nor density count {sum(dense)}"
+            )
+        it = iter(vec)
+        return [next(it) if d else None for d in dense]
+
+    from dataclasses import replace
+
+    return replace(
+        params,
+        a=expand(params.a, a_d),
+        b_g1=expand(params.b_g1, b_d),
+        b_g2=expand(params.b_g2, b_d),
+    )
+
+
 def generate_parameters(
     r1cs: R1CS,
     tau: int | None = None,

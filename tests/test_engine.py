@@ -218,6 +218,33 @@ def test_msm_grouped_g2_matches_host():
     assert got[0] == host.msm_g2(pts, scs)
 
 
+def test_msm_dense_matches_host():
+    """Scatter-free dense radix-4 MSM (the TPU default msm_style)."""
+    host = HostEngine()
+    n = 20
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    pts[4] = None
+    scs = rand_fr(n)
+    scs[1] = 0
+    scs[2] = R - 1
+    eng = TpuEngine(msm_style="dense")
+    eng.use_grouped = True
+    got = eng.msm_g1_many([pts, pts[:12]], [scs, scs[:12]])
+    assert got[0] == host.msm_g1(pts, scs)
+    assert got[1] == host.msm_g1(pts[:12], scs[:12])
+
+
+def test_msm_dense_g2_matches_host():
+    host = HostEngine()
+    n = 5
+    pts = [g2_mul(G2_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scs = rand_fr(n)
+    eng = TpuEngine(msm_style="dense")
+    eng.use_grouped = True
+    got = eng.msm_g2_many([pts], [scs])
+    assert got[0] == host.msm_g2(pts, scs)
+
+
 # -- full prover pipeline ----------------------------------------------------
 
 

@@ -65,7 +65,8 @@ class TpuEngine:
     scans elsewhere (XLA:CPU compile time dominates in tests)."""
 
     def __init__(self, lanes: int | None = None, window: int | None = None,
-                 reduce_style: str | None = None):
+                 reduce_style: str | None = None,
+                 msm_style: str | None = None):
         _enable_compilation_cache()
         self.lanes = lanes
         self.window = window
@@ -73,9 +74,18 @@ class TpuEngine:
             reduce_style = "hybrid" if jax.default_backend() == "tpu" else "scan"
         self.reduce_style = reduce_style
         self.layout = "packed" if jax.default_backend() == "tpu" else "limb"
-        # window-parallel grouped MSM: the TPU default (latency-bound
-        # otherwise); CPU tests keep the per-window scan (graph size)
+        # batched multi-MSM dispatch: the TPU default (per-window
+        # dispatch is latency-bound); CPU tests keep the per-window
+        # scan path (graph size)
         self.use_grouped = jax.default_backend() == "tpu"
+        # 'dense' = scatter-free radix-4 select + tree reduce (TPU:
+        # scatters rewrite their whole operand, gathers cost ~50ns/row,
+        # so bucketed Pippenger is movement-bound); 'grouped' = bucket
+        # accumulation (optimal work count -- wins where gathers are
+        # cheap, i.e. CPU)
+        if msm_style is None:
+            msm_style = "dense" if jax.default_backend() == "tpu" else "grouped"
+        self.msm_style = msm_style
         self._domains: dict[int, NTT.DeviceDomain] = {}
         self._jit_cache: dict = {}
 
@@ -147,15 +157,20 @@ class TpuEngine:
         return F.ints_to_limbs(scs)
 
     def _grouped_jit(self, kind: str, M: int, n: int, c: int, lanes: int):
-        key = ("grp", kind, M, n, c, lanes, self.reduce_style)
+        key = ("grp", kind, M, n, c, lanes, self.reduce_style,
+               self.msm_style)
         if key not in self._jit_cache:
             ops = ec.G1_OPS if kind == "g1" else ec.G2_OPS
 
-            def run(points, scalars):
-                return MSM.msm_limbs_grouped(
-                    points, scalars, ops, c=c, lanes=lanes,
-                    reduce_style=self.reduce_style,
-                )
+            if self.msm_style == "dense":
+                def run(points, scalars):
+                    return MSM.msm_limbs_dense(points, scalars, ops)
+            else:
+                def run(points, scalars):
+                    return MSM.msm_limbs_grouped(
+                        points, scalars, ops, c=c, lanes=lanes,
+                        reduce_style=self.reduce_style,
+                    )
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]

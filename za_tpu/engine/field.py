@@ -209,21 +209,33 @@ def neg_mod(a, p: FpParams):
 def mul_wide(a, b):
     """Full 512-bit product as 32 columns of < 2^21 digits.
 
-    a, b: (16, ...) canonical 16-bit digits. One broadcast multiply for
-    all partial products; anti-diagonal column sums built by padding
-    each row to its offset on the (leading) limb axis and accumulating.
-    Pads on the limb axis are layout-cheap on TPU (the batch axis owns
-    the vector lanes); column sums gather at most 32 16-bit terms
-    -> < 2^21, no overflow."""
-    pad_cfg = [(0, 0)] * (a.ndim - 1)
-    acc = None
+    a, b: (16, ...) canonical 16-bit digits. Each output column k is the
+    direct sum sum_{i+j=k} (lo/hi split of a_i*b_j) -- plain elementwise
+    mult/add chains per column that XLA fuses into one pass (the earlier
+    pad-shifted row accumulation materialized 16 padded (32, ...) temps
+    per product and was HBM-traffic-bound). Column sums gather at most
+    32 16-bit terms -> < 2^21, no overflow."""
+    lo = [[None] * NLIMBS for _ in range(NLIMBS)]
+    hi = [[None] * NLIMBS for _ in range(NLIMBS)]
     for i in range(NLIMBS):
         p = a[i][None] * b  # (16, ...) exact u32 products of row i
-        row = jnp.pad(p & MASK, [(i, NLIMBS - i)] + pad_cfg) + jnp.pad(
-            p >> LIMB_BITS, [(i + 1, NLIMBS - i - 1)] + pad_cfg
-        )
-        acc = row if acc is None else acc + row
-    return acc
+        pl, ph = p & MASK, p >> LIMB_BITS
+        for j in range(NLIMBS):
+            lo[i][j] = pl[j]
+            hi[i][j] = ph[j]
+    cols = []
+    for k in range(2 * NLIMBS):
+        terms = [lo[i][k - i] for i in range(NLIMBS) if 0 <= k - i < NLIMBS]
+        terms += [
+            hi[i][k - 1 - i]
+            for i in range(NLIMBS)
+            if 0 <= k - 1 - i < NLIMBS
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        cols.append(acc)
+    return jnp.stack(cols)
 
 
 def mul_lo(a, b):

@@ -585,6 +585,66 @@ def msm_limbs_grouped(points, scalars, ops: FieldOps, c: int,
     return result
 
 
+# -- dense (scatter-free) MSM -------------------------------------------------
+# TPU scatter rewrites the whole operand every step (~35 GB/s measured)
+# and gathers cost ~50 ns per tile-padded row, so ANY bucket/sort-based
+# Pippenger is data-movement-bound on TPU. The dense formulation does
+# zero data-dependent movement: radix-4 digits select per point among
+# {O, P, 2P, 3P} (elementwise where -- VPU-dense), each window's
+# selection tree-reduces, and windows fold Horner-style inside one
+# scan. Work = ceil(254/2) * n point adds, all at dense-VPU throughput;
+# the 2P/3P tables are two batched adds computed in-program.
+
+
+def msm_limbs_dense(points, scalars, ops: FieldOps):
+    """M same-size MSMs, dense radix-4, no gathers/scatters.
+
+    points:  point pytree, leaves (16, M, n) (projective Montgomery)
+    scalars: (16, M, n) uint32 plain-form 16-bit digits
+    returns point pytree with leaves (16, M).
+    """
+    first_leaf = jax.tree_util.tree_leaves(points)[0]
+    M, n = first_leaf.shape[1], first_leaf.shape[2]
+    is_g2 = isinstance(points[0], tuple)
+
+    t2 = point_add(points, points, ops)
+    t3 = point_add(t2, points, ops)
+    ident_n = point_identity_like(points[0], ops, is_g2)
+
+    def select(d):
+        """d: (M, n) digits in 0..3 -> chosen point, leaves (16, M, n)."""
+
+        def pick(i, t1_l, t2_l, t3_l):
+            out = jnp.where(d == 1, t1_l, i)
+            out = jnp.where(d == 2, t2_l, out)
+            return jnp.where(d == 3, t3_l, out)
+
+        return jax.tree_util.tree_map(pick, ident_n, points, t2, t3)
+
+    W = (SCALAR_BITS + 1) // 2  # 127 two-bit windows
+
+    def body(carry, w):
+        # Horner: carry = 4*carry + S_w, windows MSB -> LSB
+        bit = 2 * w
+        limb = bit // F.LIMB_BITS
+        sh = bit % F.LIMB_BITS
+        d = (
+            jax.lax.dynamic_index_in_dim(scalars, limb, 0, keepdims=False)
+            >> sh
+        ) & 3
+        s_w = _tree_reduce(select(d.astype(jnp.int32)), ops, n)
+        s_w = jax.tree_util.tree_map(lambda x: x[..., 0], s_w)
+        shifted = point_double(point_double(carry, ops), ops)
+        return point_add(shifted, s_w, ops), None
+
+    ident_m = point_identity_like(
+        jax.tree_util.tree_map(lambda x: x[..., 0], points)[0], ops, is_g2
+    )
+    ws = jnp.arange(W - 1, -1, -1, dtype=jnp.int32)
+    result, _ = jax.lax.scan(body, ident_m, ws)
+    return result
+
+
 # -- packed bucket storage ----------------------------------------------------
 # The bucket accumulation gathers/scatters K arbitrary rows per step.
 # Limb-major arrays make that a per-ELEMENT lane gather (slow on TPU);

@@ -17,6 +17,14 @@ try:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # XLA compile time dominates the device-kernel tests on CPU; a
+    # persistent compilation cache makes re-runs near-instant.
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except ImportError:
     pass
 

@@ -94,6 +94,13 @@ class FS:
             return self.v
         return None
 
+    def _const_like(self, other: "FS") -> "FS":
+        """Trace-promotion hook: the witness-trace recorder's TFS
+        subclass (compiler/wtrace.py) overrides this so plain-left /
+        traced-right named-method ops (div, mod, shl, ...) keep the
+        trace. Identity for plain scalars."""
+        return other
+
     # -- arithmetic ---------------------------------------------------------
 
     def __add__(self, o: "FS") -> "FS":
@@ -462,6 +469,7 @@ def eval_infix(lhv: Value, op: str, rhv: Value) -> Value:
             return Value(r.mul_fs(l))
 
     elif isinstance(l, FS) and isinstance(r, FS):
+        l = r._const_like(l)  # keep witness traces through named methods
         if op == "div":
             return Value(l.div(r))
         if op == "intdiv":

@@ -314,6 +314,10 @@ class Evaluator:
         self.deferred_signal_values: dict[str, Value] = {}
         self.debug = False
         self._last_constraint_t = time.monotonic()
+        # optional witness-trace recorder (compiler/wtrace.py); when set,
+        # deferred input values are wrapped as traced scalars so the run
+        # records a replayable witness program
+        self.wtrace = None
 
     # -- mode helpers -------------------------------------------------------
 
@@ -362,6 +366,8 @@ class Evaluator:
         return scope
 
     def set_deferred_value(self, signal_full_name: str, value: Value) -> None:
+        if self.wtrace is not None and isinstance(value.v, FS):
+            value = Value(self.wtrace.input(signal_full_name, value.v))
         self.deferred_signal_values[signal_full_name] = value
 
     # -- error bookkeeping --------------------------------------------------

@@ -1,0 +1,446 @@
+"""Witness-program trace compiler.
+
+The reference re-interprets the whole circuit AST for every proof
+(prover/src/groth16/helper.rs:109 -> eval_asts); at 1M constraints the
+tree-walking interpreter dominates end-to-end proving time (SURVEY.md
+section 7, hard part 6). za-tpu instead *compiles* witness generation on
+the first proof: one interpreted run records every field operation into a
+linear tape (a straight-line witness program over the circuit inputs),
+and subsequent proofs replay the tape with plain machine-int arithmetic
+-- no AST, no scopes, no Python object churn.
+
+Soundness: any place the recording run's *control flow* could depend on
+input values (comparisons, zero tests, int conversions used as array
+indexes / shift amounts / loop bounds) records a GUARD entry pinning the
+decision taken. Replay re-evaluates each guard; a mismatch raises
+:class:`TraceMismatch` and the caller falls back to the interpreter, so
+a trace is only ever reused for inputs that drive the circuit down the
+identical straight-line path. The `===` witness checks of the reference
+(eval.rs:1195-1258) become zero-guards on the tape, so constraint
+checking during witness generation is preserved on replay.
+
+Mechanism: inputs are wrapped in :class:`TFS` (a traced FS). Every FS
+operation involving a TFS routes through the recorder via operator
+overrides (including reflected dunders, so `plain + traced` traces) and
+the `FS._const_like` promotion hook used by `algebra.eval_infix` for the
+named scalar methods (div/intdiv/mod/shl/shr/pow with a plain left
+operand). Values that never touch an input stay plain FS and are baked
+into the tape as constants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import pickle
+from typing import Optional
+
+from ..algebra import FIELD_R, FS, AlgebraError
+
+R = FIELD_R
+
+# tape opcodes (tuple layouts noted per op)
+OP_INPUT = 0   # (op, input_index)
+OP_CONST = 1   # (op, value)
+OP_ADD = 2     # (op, a, b) ... binary ops
+OP_SUB = 3
+OP_MUL = 4
+OP_DIV = 5
+OP_INTDIV = 6
+OP_MOD = 7
+OP_SHL = 8
+OP_SHR = 9
+OP_BAND = 10
+OP_BOR = 11
+OP_BXOR = 12
+OP_POW = 13
+OP_NEG = 14    # (op, a)
+OP_INV = 15    # (op, a)
+# guards: replay must reproduce the recorded decision
+OP_GUARD_CMP = 16   # (op, cmp, a, b, expected_bool)
+OP_GUARD_ZERO = 17  # (op, a, expected_bool)
+OP_GUARD_INT = 18   # (op, a, expected_int_or_None)
+
+CMP_LT, CMP_LE, CMP_GT, CMP_GE, CMP_EQ = 0, 1, 2, 3, 4
+
+_BINOP_NAMES = {
+    "add": OP_ADD, "sub": OP_SUB, "mul": OP_MUL, "div": OP_DIV,
+    "intdiv": OP_INTDIV, "mod": OP_MOD, "shl": OP_SHL, "shr": OP_SHR,
+    "band": OP_BAND, "bor": OP_BOR, "bxor": OP_BXOR, "pow": OP_POW,
+}
+
+
+class TraceMismatch(Exception):
+    """Replay diverged from the recorded control-flow path."""
+
+
+class TraceRecorder:
+    def __init__(self):
+        self.tape: list[tuple] = []
+        self.input_names: list[str] = []
+        self._const_ids: dict[int, int] = {}
+
+    # -- node constructors ---------------------------------------------------
+
+    def _push(self, entry: tuple) -> int:
+        self.tape.append(entry)
+        return len(self.tape) - 1
+
+    def input(self, name: str, fs: FS) -> "TFS":
+        idx = len(self.input_names)
+        self.input_names.append(name)
+        return TFS(fs.v, self._push((OP_INPUT, idx)), self)
+
+    def const_id(self, v: int) -> int:
+        nid = self._const_ids.get(v)
+        if nid is None:
+            nid = self._push((OP_CONST, v))
+            self._const_ids[v] = nid
+        return nid
+
+    def _nid(self, x: FS) -> int:
+        if isinstance(x, TFS):
+            return x.nid
+        return self.const_id(x.v)
+
+    def binop(self, opcode: int, l: FS, r: FS) -> "TFS":
+        v = _apply_binop(opcode, l.v, r.v)
+        return TFS(v, self._push((opcode, self._nid(l), self._nid(r))), self)
+
+    def unop(self, opcode: int, a: FS) -> "TFS":
+        v = _apply_unop(opcode, a.v)
+        return TFS(v, self._push((opcode, self._nid(a))), self)
+
+    # -- guards ----------------------------------------------------------------
+
+    def guard_cmp(self, cmp: int, l: FS, r: FS, result: bool) -> None:
+        self._push((OP_GUARD_CMP, cmp, self._nid(l), self._nid(r), result))
+
+    def guard_zero(self, a: FS, result: bool) -> None:
+        self._push((OP_GUARD_ZERO, self._nid(a), result))
+
+    def guard_int(self, a: FS, result: Optional[int]) -> None:
+        self._push((OP_GUARD_INT, self._nid(a), result))
+
+    def finish(self, signals) -> "WitnessProgram":
+        """Freeze into a program; `signals` is the recording run's
+        Signals store (witness values plain-FS or TFS)."""
+        meta = []
+        nodes = []
+        for s in signals.ids:
+            meta.append((s.full_name, s.xtype))
+            v = s.value.v if s.value is not None else None
+            if isinstance(v, TFS):
+                nodes.append(v.nid)
+            elif isinstance(v, FS):
+                nodes.append(-1 - self.const_id(v.v))  # encode const as -1-nid
+            else:
+                nodes.append(None)  # unset / non-scalar (replay rejects)
+        return WitnessProgram(self.input_names, self.tape, meta, nodes)
+
+
+def _apply_binop(op: int, a: int, b: int) -> int:
+    """Plain-int mirror of the FS op semantics (algebra.py / fs.rs)."""
+    if op == OP_ADD:
+        return (a + b) % R
+    if op == OP_SUB:
+        return (a - b) % R
+    if op == OP_MUL:
+        return (a * b) % R
+    if op == OP_DIV:
+        try:
+            return (a * pow(b, -1, R)) % R
+        except ValueError as exc:
+            raise AlgebraError(f"Cannot find inv of {b}") from exc
+    if op == OP_INTDIV:
+        if b == 0:
+            raise AlgebraError("Division by zero")
+        return a // b
+    if op == OP_MOD:
+        if b == 0:
+            raise AlgebraError("Divison by zero")
+        return a % b
+    if op == OP_SHL:
+        if b >= (1 << 64):
+            raise AlgebraError("Only can shl on 64 bit values")
+        return (a << b) % R
+    if op == OP_SHR:
+        if b >= (1 << 64):
+            raise AlgebraError("Only can shr on 64 bit values")
+        return a >> b
+    if op == OP_BAND:
+        return (a & b) % R
+    if op == OP_BOR:
+        return (a | b) % R
+    if op == OP_BXOR:
+        return (a ^ b) % R
+    if op == OP_POW:
+        return pow(a, b, R)
+    raise TypeError(op)
+
+
+def _apply_unop(op: int, a: int) -> int:
+    if op == OP_NEG:
+        return (R - a) % R
+    if op == OP_INV:
+        try:
+            return pow(a, -1, R)
+        except ValueError as exc:
+            raise AlgebraError(f"Cannot find inv of {a}") from exc
+    raise TypeError(op)
+
+
+class TFS(FS):
+    """A traced field scalar: concrete value + tape node id.
+
+    Every operation records a tape entry via the owning recorder and
+    returns a new TFS; comparisons / zero-tests / int conversions record
+    guards (they leak the concrete value into Python control flow).
+    """
+
+    __slots__ = ("nid", "rec")
+
+    def __init__(self, v: int, nid: int, rec: TraceRecorder):
+        FS.__init__(self, v)
+        self.nid = nid
+        self.rec = rec
+
+    # promotion hook: `plain.div(traced)` etc. route through
+    # algebra.eval_infix, which calls r._const_like(l) first
+    def _const_like(self, other: FS) -> "TFS":
+        if isinstance(other, TFS):
+            return other
+        return TFS(other.v, self.rec.const_id(other.v), self.rec)
+
+    # -- arithmetic (incl. reflected, so plain-op-traced traces too) --------
+
+    def __add__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_ADD, self, o)
+
+    def __radd__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_ADD, o, self)
+
+    def __sub__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_SUB, self, o)
+
+    def __rsub__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_SUB, o, self)
+
+    def __mul__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_MUL, self, o)
+
+    def __rmul__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_MUL, o, self)
+
+    def __neg__(self) -> "TFS":
+        return self.rec.unop(OP_NEG, self)
+
+    def inv(self) -> "TFS":
+        return self.rec.unop(OP_INV, self)
+
+    def div(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_DIV, self, o)
+
+    def intdiv(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_INTDIV, self, o)
+
+    def modulo(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_MOD, self, o)
+
+    def pow(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_POW, self, o)
+
+    def shl(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_SHL, self, o)
+
+    def shr(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_SHR, self, o)
+
+    def __and__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_BAND, self, o)
+
+    def __rand__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_BAND, o, self)
+
+    def __or__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_BOR, self, o)
+
+    def __ror__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_BOR, o, self)
+
+    def __xor__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_BXOR, self, o)
+
+    def __rxor__(self, o: FS) -> "TFS":
+        return self.rec.binop(OP_BXOR, o, self)
+
+    # -- control-flow leaks: guard ------------------------------------------
+
+    def __eq__(self, o: object) -> bool:
+        if not isinstance(o, FS):
+            return False
+        res = self.v == o.v
+        self.rec.guard_cmp(CMP_EQ, self, o, res)
+        return res
+
+    def __lt__(self, o: FS) -> bool:
+        res = self.v < o.v
+        self.rec.guard_cmp(CMP_LT, self, o, res)
+        return res
+
+    def __le__(self, o: FS) -> bool:
+        res = self.v <= o.v
+        self.rec.guard_cmp(CMP_LE, self, o, res)
+        return res
+
+    def __gt__(self, o: FS) -> bool:
+        res = self.v > o.v
+        self.rec.guard_cmp(CMP_GT, self, o, res)
+        return res
+
+    def __ge__(self, o: FS) -> bool:
+        res = self.v >= o.v
+        self.rec.guard_cmp(CMP_GE, self, o, res)
+        return res
+
+    __hash__ = FS.__hash__  # defining __eq__ clears it otherwise
+
+    def is_zero(self) -> bool:
+        res = self.v == 0
+        self.rec.guard_zero(self, res)
+        return res
+
+    def try_to_int(self) -> Optional[int]:
+        res = self.v if self.v < (1 << 64) else None
+        self.rec.guard_int(self, res)
+        return res
+
+
+_CMP_FN = {
+    CMP_LT: lambda a, b: a < b,
+    CMP_LE: lambda a, b: a <= b,
+    CMP_GT: lambda a, b: a > b,
+    CMP_GE: lambda a, b: a >= b,
+    CMP_EQ: lambda a, b: a == b,
+}
+
+
+class WitnessProgram:
+    """A frozen straight-line witness program: replayable tape + the
+    signal table layout of the recording run."""
+
+    VERSION = 1
+
+    def __init__(self, input_names, tape, signals_meta, signal_nodes):
+        self.input_names = list(input_names)
+        self.tape = tape
+        self.signals_meta = signals_meta    # [(full_name, xtype)] id-ordered
+        self.signal_nodes = signal_nodes    # nid | -1-const_nid | None
+
+    # -- replay ----------------------------------------------------------------
+
+    def replay_values(self, inputs: dict[str, int]) -> list[int]:
+        """Evaluate the tape; returns per-node values. Raises
+        TraceMismatch on any guard divergence or arithmetic error (the
+        caller falls back to the interpreter, which reproduces the real
+        error / takes the other branch)."""
+        if set(inputs) != set(self.input_names):
+            raise TraceMismatch("input name set differs from recording")
+        tape = self.tape
+        vals = [0] * len(tape)
+        cmp_fn = _CMP_FN
+        try:
+            for i, e in enumerate(tape):
+                op = e[0]
+                if op == OP_ADD:
+                    vals[i] = (vals[e[1]] + vals[e[2]]) % R
+                elif op == OP_MUL:
+                    vals[i] = (vals[e[1]] * vals[e[2]]) % R
+                elif op == OP_SUB:
+                    vals[i] = (vals[e[1]] - vals[e[2]]) % R
+                elif op == OP_CONST:
+                    vals[i] = e[1]
+                elif op == OP_INPUT:
+                    vals[i] = inputs[self.input_names[e[1]]] % R
+                elif op <= OP_POW:  # the rarer binary ops
+                    vals[i] = _apply_binop(op, vals[e[1]], vals[e[2]])
+                elif op == OP_NEG:
+                    vals[i] = (R - vals[e[1]]) % R
+                elif op == OP_INV:
+                    vals[i] = _apply_unop(OP_INV, vals[e[1]])
+                elif op == OP_GUARD_CMP:
+                    if cmp_fn[e[1]](vals[e[2]], vals[e[3]]) != e[4]:
+                        raise TraceMismatch(f"cmp guard @{i}")
+                elif op == OP_GUARD_ZERO:
+                    if (vals[e[1]] == 0) != e[2]:
+                        raise TraceMismatch(f"zero guard @{i}")
+                elif op == OP_GUARD_INT:
+                    v = vals[e[1]]
+                    got = v if v < (1 << 64) else None
+                    if got != e[2]:
+                        raise TraceMismatch(f"int guard @{i}")
+                else:
+                    raise TraceMismatch(f"bad opcode {op}")
+        except AlgebraError as exc:
+            raise TraceMismatch(f"arithmetic diverged: {exc}") from exc
+        return vals
+
+    def run(self, inputs: dict[str, int]):
+        """Replay and rebuild a Signals store shaped like the recording
+        run's, with this input's witness values."""
+        from ..algebra import Value
+        from .signals import Signals
+
+        vals = self.replay_values(inputs)
+        signals = Signals()
+        for i, (full_name, xtype) in enumerate(self.signals_meta):
+            node = self.signal_nodes[i]
+            if node is None:
+                raise TraceMismatch(f"signal {full_name} untraced")
+            v = vals[node] if node >= 0 else self.tape[-1 - node][1]
+            if i == 0:
+                signals.ids[0].value = Value(FS(v))  # pre-inserted "one"
+            else:
+                signals.insert(full_name, xtype, Value(FS(v)))
+        return signals
+
+    # -- persistence -------------------------------------------------------------
+
+    def dump(self, path: str, pk_digest: bytes) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "version": self.VERSION,
+                    "pk_digest": pk_digest,
+                    "input_names": self.input_names,
+                    "tape": self.tape,
+                    "signals_meta": self.signals_meta,
+                    "signal_nodes": self.signal_nodes,
+                },
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+
+    @staticmethod
+    def load(path: str, pk_digest: bytes) -> Optional["WitnessProgram"]:
+        try:
+            with open(path, "rb") as f:
+                d = pickle.load(f)
+        except (OSError, pickle.UnpicklingError, EOFError, ValueError):
+            return None
+        if d.get("version") != WitnessProgram.VERSION:
+            return None
+        if d.get("pk_digest") != pk_digest:
+            return None
+        return WitnessProgram(
+            d["input_names"], d["tape"], d["signals_meta"], d["signal_nodes"]
+        )
+
+
+def pk_digest(pk_path: str) -> bytes:
+    """Content hash binding a cached witness program to its proving key."""
+    h = hashlib.blake2b(digest_size=32)
+    with open(pk_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.digest()

@@ -86,34 +86,93 @@ def prove(
     inputs: list[tuple[str, FS]],
     engine=None,
     deterministic_rs: Optional[tuple[int, int]] = None,
+    use_wtrace: bool = True,
 ) -> str:
-    """read pk -> GenWitness over pk-stored ASTs -> prove -> proof.json
-    (helper.rs:91-147)."""
+    """read pk -> witness (compiled trace replay, or GenWitness over the
+    pk-stored ASTs on first run / trace divergence) -> prove -> proof.json
+    (helper.rs:91-147).
+
+    Unlike the reference, witness generation is compiled on first use:
+    the interpreted run records a straight-line witness program which is
+    cached next to the pk (``<pk>.wtrace``) and replayed for subsequent
+    proofs (compiler/wtrace.py). Guard mismatches (input-dependent
+    control flow) fall back to the interpreter transparently.
+    """
+    import os
+
+    from ..compiler.wtrace import (
+        TraceMismatch, TraceRecorder, WitnessProgram, pk_digest,
+    )
+
     with open(proving_key_path, "rb") as f:
         pk = fmt.read_pk(f)
 
-    log.info("Generating witness...")
-    ev = Evaluator(Mode.GEN_WITNESS)
-    start = time.monotonic()
-    for signal, value in inputs:
-        ev.set_deferred_value(signal, Value(value))
-    ev.eval_asts(pk.asts)
-    log.info("Witness generation time: %.3fs", time.monotonic() - start)
+    use_wtrace = use_wtrace and os.environ.get("ZA_WTRACE", "1") != "0"
+    wtrace_path = proving_key_path + ".wtrace"
+    digest = pk_digest(proving_key_path) if use_wtrace else b""
 
-    if not ev.constraints.is_empty():
-        raise RuntimeError("Constrains generated in witnes")
+    replayed = False
+    signals = None
+    if use_wtrace:
+        prog = WitnessProgram.load(wtrace_path, digest)
+        if prog is not None:
+            start = time.monotonic()
+            try:
+                signals = prog.run({name: fs.v for name, fs in inputs})
+                replayed = True
+                log.info(
+                    "Witness replay time: %.3fs (compiled trace)",
+                    time.monotonic() - start,
+                )
+            except TraceMismatch as exc:
+                log.info("Witness trace diverged (%s); re-interpreting", exc)
+                signals = None
 
-    log.info("Checking signals...")
-    for n in range(1, len(ev.signals)):
-        signal = ev.signals.get_by_id(n)
-        if signal.value is None:
-            raise RuntimeError(
-                f"signal '{signal.full_name}' value is not defined"
+    if replayed:
+        # belt-and-braces: a replayed witness that fails the R1CS check
+        # (which the guards should make impossible) falls back to the
+        # interpreter instead of failing the proof
+        try:
+            return generate_verified_proof(
+                signals, pk.ignore_signals, pk.constraints, pk.params,
+                engine=engine, deterministic_rs=deterministic_rs,
             )
+        except RuntimeError as exc:
+            log.warning("replayed witness rejected (%s); re-interpreting", exc)
+            signals = None
+
+    if signals is None:
+        log.info("Generating witness...")
+        ev = Evaluator(Mode.GEN_WITNESS)
+        if use_wtrace:
+            ev.wtrace = TraceRecorder()
+        start = time.monotonic()
+        for signal, value in inputs:
+            ev.set_deferred_value(signal, Value(value))
+        ev.eval_asts(pk.asts)
+        log.info("Witness generation time: %.3fs", time.monotonic() - start)
+
+        if not ev.constraints.is_empty():
+            raise RuntimeError("Constrains generated in witnes")
+
+        log.info("Checking signals...")
+        for n in range(1, len(ev.signals)):
+            signal = ev.signals.get_by_id(n)
+            if signal.value is None:
+                raise RuntimeError(
+                    f"signal '{signal.full_name}' value is not defined"
+                )
+        signals = ev.signals
+
+        if use_wtrace:
+            try:
+                ev.wtrace.finish(ev.signals).dump(wtrace_path, digest)
+            except OSError as exc:  # read-only pk dir: skip the cache
+                log.info("could not cache witness trace: %s", exc)
 
     log.info("Creating and self-verifying proof...")
     return generate_verified_proof(
-        ev.signals, pk.ignore_signals, pk.constraints, pk.params,
+        signals, pk.ignore_signals, pk.constraints, pk.params,
         engine=engine, deterministic_rs=deterministic_rs,
     )
 

@@ -209,33 +209,25 @@ def neg_mod(a, p: FpParams):
 def mul_wide(a, b):
     """Full 512-bit product as 32 columns of < 2^21 digits.
 
-    a, b: (16, ...) canonical 16-bit digits. Each output column k is the
-    direct sum sum_{i+j=k} (lo/hi split of a_i*b_j) -- plain elementwise
-    mult/add chains per column that XLA fuses into one pass (the earlier
-    pad-shifted row accumulation materialized 16 padded (32, ...) temps
-    per product and was HBM-traffic-bound). Column sums gather at most
-    32 16-bit terms -> < 2^21, no overflow."""
-    lo = [[None] * NLIMBS for _ in range(NLIMBS)]
-    hi = [[None] * NLIMBS for _ in range(NLIMBS)]
+    a, b: (16, ...) canonical 16-bit digits. Vectorized over the limb
+    axis: ONE broadcast outer product (16, 16, ...) followed by 16
+    pad-shifted row folds -- ~60 HLO ops per product instead of the
+    ~770 a per-column Python loop emits (XLA:TPU compile time and
+    per-op dispatch both scale with op count, and a full prover graph
+    inlines dozens of these). Column sums gather at most 32 16-bit
+    terms -> < 2^21, no overflow in uint32."""
+    p = a[:, None] * b[None, :]  # (16, 16, ...) exact u32 products
+    pl_ = p & MASK
+    ph = p >> LIMB_BITS
+    tail = [(0, 0)] * (a.ndim - 1)
+    cols = None
     for i in range(NLIMBS):
-        p = a[i][None] * b  # (16, ...) exact u32 products of row i
-        pl, ph = p & MASK, p >> LIMB_BITS
-        for j in range(NLIMBS):
-            lo[i][j] = pl[j]
-            hi[i][j] = ph[j]
-    cols = []
-    for k in range(2 * NLIMBS):
-        terms = [lo[i][k - i] for i in range(NLIMBS) if 0 <= k - i < NLIMBS]
-        terms += [
-            hi[i][k - 1 - i]
-            for i in range(NLIMBS)
-            if 0 <= k - 1 - i < NLIMBS
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        cols.append(acc)
-    return jnp.stack(cols)
+        # row i contributes lo at columns i..i+15, hi at i+1..i+16
+        row = jnp.pad(pl_[i], [(i, NLIMBS - i)] + tail) + jnp.pad(
+            ph[i], [(i + 1, NLIMBS - 1 - i)] + tail
+        )
+        cols = row if cols is None else cols + row
+    return cols
 
 
 def mul_lo(a, b):

@@ -31,8 +31,7 @@ into the tape as constants.
 from __future__ import annotations
 
 import hashlib
-import io
-import pickle
+import json
 from typing import Optional
 
 from ..algebra import FIELD_R, FS, AlgebraError
@@ -134,6 +133,10 @@ class TraceRecorder:
                 nodes.append(v.nid)
             elif isinstance(v, FS):
                 nodes.append(-1 - self.const_id(v.v))  # encode const as -1-nid
+            elif s.id == 0 and v is None:
+                # the pre-inserted "one" signal never gets a value during
+                # witness generation; it is the constant 1 by definition
+                nodes.append(-1 - self.const_id(1))
             else:
                 nodes.append(None)  # unset / non-scalar (replay rejects)
         return WitnessProgram(self.input_names, self.tape, meta, nodes)
@@ -315,6 +318,21 @@ class TFS(FS):
         self.rec.guard_int(self, res)
         return res
 
+    def is_one(self) -> bool:
+        # guarded even though no current evaluator branch uses it for
+        # control flow -- the replay soundness invariant must not depend
+        # on auditing future call sites
+        res = self.v == 1
+        self.rec.guard_cmp(CMP_EQ, self, FS(1), res)
+        return res
+
+    def is_neg(self) -> bool:
+        from ..algebra import _FIELD_HALF
+
+        res = self.v > _FIELD_HALF
+        self.rec.guard_cmp(CMP_GT, self, FS(_FIELD_HALF), res)
+        return res
+
 
 _CMP_FN = {
     CMP_LT: lambda a, b: a < b,
@@ -405,36 +423,50 @@ class WitnessProgram:
         return signals
 
     # -- persistence -------------------------------------------------------------
+    # Data-only JSON serialization: a .wtrace sidecar may travel with a
+    # distributable pk bundle, so loading one must never execute code
+    # (pickle would). Everything in the file is ints/strings/bools/null.
 
     def dump(self, path: str, pk_digest: bytes) -> None:
-        with open(path, "wb") as f:
-            pickle.dump(
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(
                 {
                     "version": self.VERSION,
-                    "pk_digest": pk_digest,
+                    "pk_digest": pk_digest.hex(),
                     "input_names": self.input_names,
-                    "tape": self.tape,
-                    "signals_meta": self.signals_meta,
+                    "tape": [list(e) for e in self.tape],
+                    "signals_meta": [
+                        [name, int(xtype)] for name, xtype in self.signals_meta
+                    ],
                     "signal_nodes": self.signal_nodes,
                 },
                 f,
-                protocol=pickle.HIGHEST_PROTOCOL,
+                separators=(",", ":"),
             )
 
     @staticmethod
     def load(path: str, pk_digest: bytes) -> Optional["WitnessProgram"]:
+        from ..lang.ast import SignalType
+
         try:
-            with open(path, "rb") as f:
-                d = pickle.load(f)
-        except (OSError, pickle.UnpicklingError, EOFError, ValueError):
+            with open(path, "r", encoding="utf-8") as f:
+                d = json.load(f)
+        except (OSError, ValueError):
             return None
-        if d.get("version") != WitnessProgram.VERSION:
+        try:
+            if d.get("version") != WitnessProgram.VERSION:
+                return None
+            if d.get("pk_digest") != pk_digest.hex():
+                return None
+            tape = [tuple(e) for e in d["tape"]]
+            meta = [
+                (name, SignalType(xtype)) for name, xtype in d["signals_meta"]
+            ]
+            return WitnessProgram(
+                d["input_names"], tape, meta, d["signal_nodes"]
+            )
+        except (KeyError, TypeError, ValueError):
             return None
-        if d.get("pk_digest") != pk_digest:
-            return None
-        return WitnessProgram(
-            d["input_names"], d["tape"], d["signals_meta"], d["signal_nodes"]
-        )
 
 
 def pk_digest(pk_path: str) -> bytes:

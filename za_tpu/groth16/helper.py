@@ -113,8 +113,10 @@ def prove(
 
     replayed = False
     signals = None
+    had_valid_cache = False
     if use_wtrace:
         prog = WitnessProgram.load(wtrace_path, digest)
+        had_valid_cache = prog is not None
         if prog is not None:
             start = time.monotonic()
             try:
@@ -164,7 +166,10 @@ def prove(
                 )
         signals = ev.signals
 
-        if use_wtrace:
+        if use_wtrace and not had_valid_cache:
+            # keep an existing valid cache on guard divergence: a workload
+            # alternating between input-dependent paths would otherwise
+            # re-record and rewrite the cache on every prove
             try:
                 ev.wtrace.finish(ev.signals).dump(wtrace_path, digest)
             except OSError as exc:  # read-only pk dir: skip the cache

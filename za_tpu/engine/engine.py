@@ -280,42 +280,54 @@ class TpuEngine:
             self._domains[size] = NTT.DeviceDomain(size)
         return self._domains[size]
 
-    def _h_jit(self, m: int, nnz_key):
-        key = ("h", m, nnz_key)
+    def _matvec_jit(self, m: int, nnz: int):
+        """Sparse R1CS matvec piece: one compile shared by the A/B/C
+        matrices (nnz is pow2-padded in _pack_rows) and by both the
+        h-coeffs and satisfiability paths."""
+        key = ("mv", m, nnz)
         if key not in self._jit_cache:
-            dom = self._domain(m)
 
-            def run(z_mont, a_ent, b_ent, c_ent, az0, bz0, cz0):
-                def matvec(coeffs, colidx, rowidx, base):
-                    prod = F.mont_mul(coeffs, z_mont[:, colidx], FR)
-                    sums = jax.ops.segment_sum(
-                        prod.T, rowidx, num_segments=m
-                    ).T  # (16, m) digit sums < 2^32
-                    # widen to 32 columns (< 2^17 digits) then REDC -> plain
-                    lo = sums & F.MASK
-                    hi = sums >> F.LIMB_BITS
-                    wide = jnp.zeros((2 * F.NLIMBS, m), dtype=jnp.uint32)
-                    wide = wide.at[: F.NLIMBS].add(lo)
-                    wide = wide.at[1 : F.NLIMBS + 1].add(hi)
-                    plain = F.redc_wide(wide, FR)
-                    return F.add_mod(F.to_mont(plain, FR), base, FR)
-
-                az = matvec(*a_ent, az0)
-                bz = matvec(*b_ent, bz0)
-                cz = matvec(*c_ent, cz0)
-
-                a_c = NTT.coset_ntt(dom, NTT.intt(dom, az))
-                b_c = NTT.coset_ntt(dom, NTT.intt(dom, bz))
-                c_c = NTT.coset_ntt(dom, NTT.intt(dom, cz))
-                ab = F.mont_mul(a_c, b_c, FR)
-                hc = F.sub_mod(ab, c_c, FR)
-                zi = jnp.broadcast_to(dom.z_coset_inv[:, None], hc.shape)
-                hc = F.mont_mul(hc, zi, FR)
-                h = NTT.coset_intt(dom, hc)
-                return F.from_mont(h, FR)
+            def run(z_mont, coeffs, colidx, rowidx):
+                prod = F.mont_mul(coeffs, z_mont[:, colidx], FR)
+                sums = jax.ops.segment_sum(
+                    prod.T, rowidx, num_segments=m
+                ).T  # (16, m) digit sums < 2^32
+                # widen to 32 columns (< 2^17 digits) then REDC -> plain
+                lo = sums & F.MASK
+                hi = sums >> F.LIMB_BITS
+                wide = jnp.zeros((2 * F.NLIMBS, m), dtype=jnp.uint32)
+                wide = wide.at[: F.NLIMBS].add(lo)
+                wide = wide.at[1 : F.NLIMBS + 1].add(hi)
+                return F.redc_wide(wide, FR)  # plain form
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
+
+    def _piece(self, name: str):
+        """Small elementwise pieces (shape-polymorphic via jax.jit)."""
+        fn = self._jit_cache.get(("piece", name))
+        if fn is None:
+            if name == "mv_finish":  # plain matvec result -> Mont + base
+                def fn_(plain, base):
+                    return F.add_mod(F.to_mont(plain, FR), base, FR)
+            elif name == "h_combine":  # (A*B - C) / Z on the coset
+                def fn_(a_c, b_c, c_c, zi):
+                    hc = F.sub_mod(F.mont_mul(a_c, b_c, FR), c_c, FR)
+                    return F.mont_mul(
+                        hc, jnp.broadcast_to(zi[:, None], hc.shape), FR
+                    )
+            elif name == "sat_check":  # Az o Bz == Cz (plain operands)
+                def fn_(az, bz, cz):
+                    lhs = F.mont_mul(F.to_mont(az, FR), bz, FR)
+                    return jnp.all(lhs == cz)
+            elif name == "from_mont":
+                def fn_(x):
+                    return F.from_mont(x, FR)
+            else:  # pragma: no cover
+                raise KeyError(name)
+            fn = jax.jit(fn_)
+            self._jit_cache[("piece", name)] = fn
+        return fn
 
     def h_coeffs(self, r1cs: R1CS, z: list[int], domain: Domain) -> list[int]:
         return F.limbs_to_ints(self.h_coeffs_limbs(r1cs, z, domain))
@@ -330,6 +342,13 @@ class TpuEngine:
                 rowids.append(k)
         if not coeffs:  # keep shapes non-empty
             coeffs, cols, rowids = [0], [0], [0]
+        # pow2-pad nnz with zero-coefficient entries so the A/B/C
+        # matvecs share one compiled kernel
+        nnz = _pad_pow2ish(len(coeffs))
+        pad = nnz - len(coeffs)
+        coeffs += [0] * pad
+        cols += [0] * pad
+        rowids += [0] * pad
         return (
             _to_mont_fr(F.ints_to_limbs(coeffs)),
             jnp.asarray(np.array(cols, dtype=np.int32)),
@@ -348,41 +367,17 @@ class TpuEngine:
             r1cs._dev_entries = ent
         return ent
 
-    def _sat_jit(self, n: int, nnz_key):
-        key = ("sat", n, nnz_key)
-        if key not in self._jit_cache:
-
-            def run(z_mont, a_ent, b_ent, c_ent):
-                def matvec(coeffs, colidx, rowidx):
-                    prod = F.mont_mul(coeffs, z_mont[:, colidx], FR)
-                    sums = jax.ops.segment_sum(
-                        prod.T, rowidx, num_segments=n
-                    ).T
-                    lo = sums & F.MASK
-                    hi = sums >> F.LIMB_BITS
-                    wide = jnp.zeros((2 * F.NLIMBS, n), dtype=jnp.uint32)
-                    wide = wide.at[: F.NLIMBS].add(lo)
-                    wide = wide.at[1 : F.NLIMBS + 1].add(hi)
-                    return F.redc_wide(wide, FR)  # plain form
-
-                az = matvec(*a_ent)
-                bz = matvec(*b_ent)
-                cz = matvec(*c_ent)
-                lhs = F.mont_mul(F.to_mont(az, FR), bz, FR)
-                return jnp.all(lhs == cz)
-
-            self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key]
-
     def r1cs_satisfied(self, r1cs: R1CS, z: list[int]) -> bool:
-        """Az o Bz == Cz over all rows as one device sparse matvec (the
+        """Az o Bz == Cz over all rows as device sparse matvecs (the
         reference's satisfies_with_signals, constraint.rs:29-67, which
         is a host-side Python loop in the golden model)."""
         n = max(r1cs.num_constraints, 1)
         a_ent, b_ent, c_ent = self._r1cs_entries(r1cs)
         z_mont = _to_mont_fr(F.ints_to_limbs([v % R for v in z]))
-        nnz_key = (a_ent[1].shape[0], b_ent[1].shape[0], c_ent[1].shape[0])
-        return bool(self._sat_jit(n, nnz_key)(z_mont, a_ent, b_ent, c_ent))
+        az = self._matvec_jit(n, a_ent[1].shape[0])(z_mont, *a_ent)
+        bz = self._matvec_jit(n, b_ent[1].shape[0])(z_mont, *b_ent)
+        cz = self._matvec_jit(n, c_ent[1].shape[0])(z_mont, *c_ent)
+        return bool(self._piece("sat_check")(az, bz, cz))
 
     def h_coeffs_limbs(self, r1cs: R1CS, z: list[int],
                        domain: Domain) -> np.ndarray:
@@ -390,6 +385,7 @@ class TpuEngine:
         msm_g1_many directly without a host int round-trip."""
         m = domain.size
         a_ent, b_ent, c_ent = self._r1cs_entries(r1cs)
+        dom = self._domain(m)
 
         z_mont = _to_mont_fr(F.ints_to_limbs([v % R for v in z]))
 
@@ -401,10 +397,22 @@ class TpuEngine:
         ]
         zero0 = jnp.zeros((F.NLIMBS, m), dtype=jnp.uint32)
 
-        nnz_key = (a_ent[1].shape[0], b_ent[1].shape[0], c_ent[1].shape[0])
-        h = self._h_jit(m, nnz_key)(
-            z_mont, a_ent, b_ent, c_ent, jnp.asarray(az0), zero0, zero0
-        )
+        # piecewise device calls: every piece's compile is shared
+        # across the A/B/C legs, the fwd/inv NTTs, and across proofs
+        # (this cache keeps the jits in-process; the persistent XLA
+        # cache keeps them across processes)
+        finish = self._piece("mv_finish")
+
+        def leg(ent, base):
+            plain = self._matvec_jit(m, ent[1].shape[0])(z_mont, *ent)
+            evals = finish(plain, base)
+            return NTT.coset_ntt_steps(dom, NTT.intt_steps(dom, evals))
+
+        a_c = leg(a_ent, jnp.asarray(az0))
+        b_c = leg(b_ent, zero0)
+        c_c = leg(c_ent, zero0)
+        hc = self._piece("h_combine")(a_c, b_c, c_c, dom.z_coset_inv)
+        h = self._piece("from_mont")(NTT.coset_intt_steps(dom, hc))
         h = np.asarray(h)
         assert not h[:, m - 1].any(), (
             "h(x) degree overflow: witness unsatisfied?"

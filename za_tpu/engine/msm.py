@@ -596,8 +596,15 @@ def msm_limbs_grouped(points, scalars, ops: FieldOps, c: int,
 # the 2P/3P tables are two batched adds computed in-program.
 
 
-def msm_limbs_dense(points, scalars, ops: FieldOps):
+def msm_limbs_dense(points, scalars, ops: FieldOps, lanes: int = 128):
     """M same-size MSMs, dense radix-4, no gathers/scatters.
+
+    All 127 windows accumulate SIMULTANEOUSLY (windows are a tensor
+    axis, so a step's point-add batch is W*M*lanes wide) over n/lanes
+    chunk steps; lanes then fold by recursive doubling (dynamic roll);
+    only the final Horner window combine is narrow. The compiled graph
+    holds ~6 point-add instantiations regardless of n (XLA compile
+    time, not FLOPs, was the prover bottleneck at scale).
 
     points:  point pytree, leaves (16, M, n) (projective Montgomery)
     scalars: (16, M, n) uint32 plain-form 16-bit digits
@@ -607,41 +614,97 @@ def msm_limbs_dense(points, scalars, ops: FieldOps):
     M, n = first_leaf.shape[1], first_leaf.shape[2]
     is_g2 = isinstance(points[0], tuple)
 
+    L = 1
+    while L * 2 <= min(lanes, n):
+        L *= 2
+    C = -(-n // L)
+    n_pad = C * L
+    if n_pad != n:
+        def padp(x):
+            return jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (n_pad - n,), dtype=x.dtype)],
+                axis=-1,
+            )
+
+        points = jax.tree_util.tree_map(padp, points)
+        scalars = padp(scalars)
+
     t2 = point_add(points, points, ops)
     t3 = point_add(t2, points, ops)
-    ident_n = point_identity_like(points[0], ops, is_g2)
 
-    def select(d):
-        """d: (M, n) digits in 0..3 -> chosen point, leaves (16, M, n)."""
+    def rsh(x):  # (16, M, n_pad) -> (16, M, C, L)
+        return x.reshape(x.shape[:-1] + (C, L))
 
-        def pick(i, t1_l, t2_l, t3_l):
-            out = jnp.where(d == 1, t1_l, i)
-            out = jnp.where(d == 2, t2_l, out)
-            return jnp.where(d == 3, t3_l, out)
+    tabs = [jax.tree_util.tree_map(rsh, t) for t in (points, t2, t3)]
 
-        return jax.tree_util.tree_map(pick, ident_n, points, t2, t3)
-
+    # 2-bit digits of all windows: (16, M, n) u16 limbs -> (W, M, C, L)
+    shifts = jnp.arange(0, F.LIMB_BITS, 2, dtype=jnp.uint32)
+    d_all = (scalars[:, None] >> shifts[None, :, None, None]) & 3
     W = (SCALAR_BITS + 1) // 2  # 127 two-bit windows
+    digits = (
+        d_all.reshape(F.NLIMBS * (F.LIMB_BITS // 2), M, n_pad)[:W]
+        .reshape(W, M, C, L)
+        .transpose(2, 0, 1, 3)
+        .astype(jnp.int32)
+    )  # (C, W, M, L), window w = bits [2w, 2w+2), LSB-first
 
-    def body(carry, w):
-        # Horner: carry = 4*carry + S_w, windows MSB -> LSB
-        bit = 2 * w
-        limb = bit // F.LIMB_BITS
-        sh = bit % F.LIMB_BITS
-        d = (
-            jax.lax.dynamic_index_in_dim(scalars, limb, 0, keepdims=False)
-            >> sh
-        ) & 3
-        s_w = _tree_reduce(select(d.astype(jnp.int32)), ops, n)
-        s_w = jax.tree_util.tree_map(lambda x: x[..., 0], s_w)
-        shifted = point_double(point_double(carry, ops), ops)
+    ident_wml = point_identity_like(
+        jax.tree_util.tree_map(
+            lambda x: jnp.zeros((F.NLIMBS, W, M, L), dtype=x.dtype), points
+        )[0],
+        ops, is_g2,
+    )
+
+    def step_body(step, acc):
+        d = jax.lax.dynamic_index_in_dim(
+            digits, step, 0, keepdims=False
+        )  # (W, M, L)
+        chunk = [
+            jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, step, 2, keepdims=False
+                )[:, None],
+                t,
+            )
+            for t in tabs
+        ]  # leaves (16, 1, M, L), broadcast over W in the selects
+
+        def pick(i, p1, p2, p3):
+            out = jnp.where(d == 1, p1, i)
+            out = jnp.where(d == 2, p2, out)
+            return jnp.where(d == 3, p3, out)
+
+        sel = jax.tree_util.tree_map(pick, ident_wml, *chunk)
+        return point_add(acc, sel, ops)
+
+    acc = jax.lax.fori_loop(0, C, step_body, ident_wml)
+
+    # recursive-doubling lane fold: after log2(L) rounds every lane
+    # holds the total; one point-add instantiation, L always a pow2
+    def fold_body(s, a):
+        rolled = jax.tree_util.tree_map(
+            lambda x: jnp.roll(x, jnp.left_shift(1, s), axis=-1), a
+        )
+        return point_add(a, rolled, ops)
+
+    acc = jax.lax.fori_loop(0, L.bit_length() - 1, fold_body, acc)
+    wsum = jax.tree_util.tree_map(lambda x: x[..., 0], acc)  # (16, W, M)
+
+    # Horner over windows, MSB first, batch M
+    per_w = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, 1, 0)[::-1], wsum
+    )  # leaves (W, 16, M)
+
+    def horner(carry, s_w):
+        shifted = jax.lax.fori_loop(
+            0, 2, lambda _, p: point_double(p, ops), carry
+        )
         return point_add(shifted, s_w, ops), None
 
     ident_m = point_identity_like(
         jax.tree_util.tree_map(lambda x: x[..., 0], points)[0], ops, is_g2
     )
-    ws = jnp.arange(W - 1, -1, -1, dtype=jnp.int32)
-    result, _ = jax.lax.scan(body, ident_m, ws)
+    result, _ = jax.lax.scan(horner, ident_m, per_w)
     return result
 
 

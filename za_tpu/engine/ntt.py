@@ -171,6 +171,86 @@ def coset_intt(dom: DeviceDomain, evals):
     return F.mont_mul(x, dom.coset_inv_pow, FR)
 
 
+# -- piecewise (compile-shared) NTT drivers -----------------------------------
+# One giant jitted prover graph inlines every NTT stage of every call:
+# XLA:TPU compile time scales superlinearly with HLO op count (~7 NTTs
+# x log2(n) stages x ~300-op Montgomery muls blew past 3 minutes at
+# n=2^14). These drivers jit the NTT CORE once per size with the
+# twiddle tables as *arguments*, so forward/inverse/coset calls -- and
+# every h_coeffs invocation -- share a single compiled graph, plus one
+# tiny elementwise-scale graph.
+
+_piece_jits: dict = {}
+
+
+def _core_jit(size: int, fourstep: bool):
+    key = ("core", size, fourstep)
+    fn = _piece_jits.get(key)
+    if fn is None:
+        if fourstep:
+            def run(x, t2, t1, inter, n1, n2):
+                xr = x.reshape(F.NLIMBS, n2, n1)
+                a = _sub_ntt_axis1(xr, t2, n2)
+                a = F.mont_mul(a, inter, FR)
+                a = jnp.swapaxes(a, 1, 2)
+                b = _sub_ntt_axis1(a, t1, n1)
+                return b.reshape(F.NLIMBS, n1 * n2)
+
+            fn = jax.jit(run, static_argnums=(4, 5))
+        else:
+            def run(x, table):
+                return _ntt_core(x, table, size)
+
+            fn = jax.jit(run)
+        _piece_jits[key] = fn
+    return fn
+
+
+def _scale():
+    """Elementwise Montgomery multiply by a (16, n) or (16, 1) vector."""
+    fn = _piece_jits.get("scale")
+    if fn is None:
+        fn = jax.jit(
+            lambda x, v: F.mont_mul(x, jnp.broadcast_to(v, x.shape), FR)
+        )
+        _piece_jits["scale"] = fn
+    return fn
+
+
+def _run_core(dom: DeviceDomain, x, inverse: bool):
+    fs = dom.fourstep
+    if fs is not None:
+        t2 = fs.t2_inv if inverse else fs.t2_fwd
+        t1 = fs.t1_inv if inverse else fs.t1_fwd
+        inter = fs.inter_inv if inverse else fs.inter_fwd
+        return _core_jit(dom.size, True)(x, t2, t1, inter, fs.n1, fs.n2)
+    table = dom.w_inv if inverse else dom.w_fwd
+    return _core_jit(dom.size, False)(x, table)
+
+
+def ntt_steps(dom: DeviceDomain, coeffs):
+    """ntt() as separately-jitted device calls (compile-shared)."""
+    return _run_core(dom, coeffs, inverse=False)
+
+
+def intt_steps(dom: DeviceDomain, evals):
+    x = _run_core(dom, evals, inverse=True)
+    if dom.fourstep is not None:  # four-step inverse folds 1/n already
+        return x
+    return _scale()(x, dom.size_inv[:, None])
+
+
+def coset_ntt_steps(dom: DeviceDomain, coeffs):
+    return _run_core(dom, _scale()(coeffs, dom.coset_pow), inverse=False)
+
+
+def coset_intt_steps(dom: DeviceDomain, evals):
+    x = _run_core(dom, evals, inverse=True)
+    if dom.fourstep is not None:
+        return _scale()(x, dom.coset_inv_nofold)
+    return _scale()(x, dom.coset_inv_pow)
+
+
 # -- local four-step NTT (TPU layout) -----------------------------------------
 # Butterflies along the lane axis relayout data every stage; splitting
 # n = n1*n2 runs batched sub-NTTs along a NON-lane axis (lanes stay

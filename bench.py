@@ -94,8 +94,12 @@ def main():
     m = domain.size
     a_q, b1_q, l_q, h_q = g1s(nv), g1s(nv), g1s(r1cs.num_aux), g1s(m - 1)
     b2_q = g2s(nv)
+    print(f"# host pk queries built at {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     eng = TpuEngine(lanes=lanes)
+    print(f"# engine init (incl d2h warmup) at {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     def stage(name, f):
         t = time.time()

@@ -57,57 +57,65 @@ def _bcast(const_limbs, like):
     return jnp.asarray(const_limbs).reshape((F.NLIMBS,) + (1,) * extra)
 
 
-def _g1_add(a, b):
-    return F.add_mod(a, b, FQ)
+def make_g1_ops(fq=FQ, b3_limbs=_B3_G1_LIMBS, one_limbs=None,
+                zero_limbs=None) -> "FieldOps":
+    """Build the G1 FieldOps over explicit constants.
+
+    The defaults are the module-level host numpy constants; Pallas
+    kernel bodies pass TRACED (16,) rows of a consts input instead
+    (captured array constants are rejected by pallas_call)."""
+    if one_limbs is None:
+        one_limbs = F.int_to_limbs(fq.r_mod) if hasattr(fq, "r_mod") \
+            else F.int_to_limbs(FQ.r_mod)
+    if zero_limbs is None:
+        zero_limbs = F.int_to_limbs(0)
+
+    def add(a, b):
+        return F.add_mod(a, b, fq)
+
+    def sub(a, b):
+        return F.sub_mod(a, b, fq)
+
+    def mul(a, b):
+        return F.mont_mul(a, b, fq)
+
+    def b3_mul(a):
+        return F.mont_mul(a, _bcast(b3_limbs, a), fq)
+
+    def mul_many(pairs):
+        k = len(pairs)
+        A = jnp.stack([a for a, _ in pairs], axis=1)  # (16, k, ...)
+        B = jnp.stack([b for _, b in pairs], axis=1)
+        P = F.mont_mul(A, B, fq)
+        return [P[:, i] for i in range(k)]
+
+    def add_many(pairs):
+        A = jnp.stack([a for a, _ in pairs], axis=1)
+        B = jnp.stack([b for _, b in pairs], axis=1)
+        S = F.add_mod(A, B, fq)
+        return [S[:, i] for i in range(len(pairs))]
+
+    def sub_many(pairs):
+        A = jnp.stack([a for a, _ in pairs], axis=1)
+        B = jnp.stack([b for _, b in pairs], axis=1)
+        S = F.sub_mod(A, B, fq)
+        return [S[:, i] for i in range(len(pairs))]
+
+    def b3_const(like):
+        return jnp.broadcast_to(_bcast(b3_limbs, like), like.shape)
+
+    return FieldOps(
+        add, sub, mul, b3_mul,
+        zero=zero_limbs,
+        one=one_limbs,
+        mul_many=mul_many,
+        b3_const=b3_const,
+        add_many=add_many,
+        sub_many=sub_many,
+    )
 
 
-def _g1_sub(a, b):
-    return F.sub_mod(a, b, FQ)
-
-
-def _g1_mul(a, b):
-    return F.mont_mul(a, b, FQ)
-
-
-def _g1_b3(a):
-    return F.mont_mul(a, _bcast(_B3_G1_LIMBS, a), FQ)
-
-
-def _g1_mul_many(pairs):
-    k = len(pairs)
-    A = jnp.stack([a for a, _ in pairs], axis=1)  # (16, k, ...)
-    B = jnp.stack([b for _, b in pairs], axis=1)
-    P = F.mont_mul(A, B, FQ)
-    return [P[:, i] for i in range(k)]
-
-
-def _g1_add_many(pairs):
-    A = jnp.stack([a for a, _ in pairs], axis=1)
-    B = jnp.stack([b for _, b in pairs], axis=1)
-    S = F.add_mod(A, B, FQ)
-    return [S[:, i] for i in range(len(pairs))]
-
-
-def _g1_sub_many(pairs):
-    A = jnp.stack([a for a, _ in pairs], axis=1)
-    B = jnp.stack([b for _, b in pairs], axis=1)
-    S = F.sub_mod(A, B, FQ)
-    return [S[:, i] for i in range(len(pairs))]
-
-
-def _g1_b3_const(like):
-    return jnp.broadcast_to(_bcast(_B3_G1_LIMBS, like), like.shape)
-
-
-G1_OPS = FieldOps(
-    _g1_add, _g1_sub, _g1_mul, _g1_b3,
-    zero=F.int_to_limbs(0),
-    one=F.int_to_limbs(FQ.r_mod),
-    mul_many=_g1_mul_many,
-    b3_const=_g1_b3_const,
-    add_many=_g1_add_many,
-    sub_many=_g1_sub_many,
-)
+G1_OPS = make_g1_ops()
 
 # -- G2: y^2 = x^3 + 3/(9+i), b3 = 3*B2 over Fq2 ------------------------------
 
@@ -116,70 +124,88 @@ _B3_G2_C1 = FQ.to_mont_int((3 * B2.c1) % Q)
 _B3_G2_LIMBS = (F.int_to_limbs(_B3_G2_C0), F.int_to_limbs(_B3_G2_C1))
 
 
-def _g2_b3(a):
-    c = (_bcast(_B3_G2_LIMBS[0], a[0]), _bcast(_B3_G2_LIMBS[1], a[1]))
-    return F.fq2_mul(a, c)
+def make_g2_ops(fq=FQ, b3_limbs=_B3_G2_LIMBS, one_limbs=None,
+                zero_limbs=None) -> "FieldOps":
+    """G2 FieldOps over explicit constants (see make_g1_ops)."""
+    if one_limbs is None:
+        one_limbs = F.int_to_limbs(fq.r_mod) if hasattr(fq, "r_mod") \
+            else F.int_to_limbs(FQ.r_mod)
+    if zero_limbs is None:
+        zero_limbs = F.int_to_limbs(0)
 
+    def fq2_add(a, b):
+        return F.fq2_add(a, b, fq)
 
-def _g2_mul_many(pairs):
-    """Karatsuba Fq2 products, all limb-multiplies fused into one:
-    for each pair we need a0*b0, a1*b1, (a0+a1)*(b0+b1) -- 3k products
-    in a single stacked mont_mul, with vectorized recombination."""
-    k = len(pairs)
-    A0 = jnp.stack([a[0] for a, _ in pairs], axis=1)  # (16, k, ...)
-    A1 = jnp.stack([a[1] for a, _ in pairs], axis=1)
-    B0 = jnp.stack([b[0] for _, b in pairs], axis=1)
-    B1 = jnp.stack([b[1] for _, b in pairs], axis=1)
-    Asum = F.add_mod(A0, A1, FQ)
-    Bsum = F.add_mod(B0, B1, FQ)
-    A = jnp.concatenate([A0, A1, Asum], axis=1)
-    B = jnp.concatenate([B0, B1, Bsum], axis=1)
-    P = F.mont_mul(A, B, FQ)
-    t0 = P[:, :k]
-    t1 = P[:, k : 2 * k]
-    cross = P[:, 2 * k :]
-    C0 = F.sub_mod(t0, t1, FQ)
-    C1 = F.sub_mod(F.sub_mod(cross, t0, FQ), t1, FQ)
-    return [(C0[:, i], C1[:, i]) for i in range(k)]
+    def fq2_sub(a, b):
+        return F.fq2_sub(a, b, fq)
 
+    def fq2_mul(a, b):
+        return F.fq2_mul(a, b, fq)
 
-def _g2_stack(pairs):
-    """Stack fq2 pairs into component-concatenated operand arrays."""
-    A = jnp.stack([a[0] for a, _ in pairs] + [a[1] for a, _ in pairs], axis=1)
-    B = jnp.stack([b[0] for _, b in pairs] + [b[1] for _, b in pairs], axis=1)
-    return A, B
+    def b3_mul(a):
+        c = (_bcast(b3_limbs[0], a[0]), _bcast(b3_limbs[1], a[1]))
+        return F.fq2_mul(a, c, fq)
 
+    def mul_many(pairs):
+        """Karatsuba Fq2 products, all limb-multiplies fused into one:
+        for each pair we need a0*b0, a1*b1, (a0+a1)*(b0+b1) -- 3k
+        products in a single stacked mont_mul, with vectorized
+        recombination."""
+        k = len(pairs)
+        A0 = jnp.stack([a[0] for a, _ in pairs], axis=1)  # (16, k, ...)
+        A1 = jnp.stack([a[1] for a, _ in pairs], axis=1)
+        B0 = jnp.stack([b[0] for _, b in pairs], axis=1)
+        B1 = jnp.stack([b[1] for _, b in pairs], axis=1)
+        Asum = F.add_mod(A0, A1, fq)
+        Bsum = F.add_mod(B0, B1, fq)
+        A = jnp.concatenate([A0, A1, Asum], axis=1)
+        B = jnp.concatenate([B0, B1, Bsum], axis=1)
+        P = F.mont_mul(A, B, fq)
+        t0 = P[:, :k]
+        t1 = P[:, k : 2 * k]
+        cross = P[:, 2 * k :]
+        C0 = F.sub_mod(t0, t1, fq)
+        C1 = F.sub_mod(F.sub_mod(cross, t0, fq), t1, fq)
+        return [(C0[:, i], C1[:, i]) for i in range(k)]
 
-def _g2_unstack(S, k):
-    return [(S[:, i], S[:, k + i]) for i in range(k)]
+    def _stack(pairs):
+        A = jnp.stack(
+            [a[0] for a, _ in pairs] + [a[1] for a, _ in pairs], axis=1
+        )
+        B = jnp.stack(
+            [b[0] for _, b in pairs] + [b[1] for _, b in pairs], axis=1
+        )
+        return A, B
 
+    def _unstack(S, k):
+        return [(S[:, i], S[:, k + i]) for i in range(k)]
 
-def _g2_add_many(pairs):
-    A, B = _g2_stack(pairs)
-    return _g2_unstack(F.add_mod(A, B, FQ), len(pairs))
+    def add_many(pairs):
+        A, B = _stack(pairs)
+        return _unstack(F.add_mod(A, B, fq), len(pairs))
 
+    def sub_many(pairs):
+        A, B = _stack(pairs)
+        return _unstack(F.sub_mod(A, B, fq), len(pairs))
 
-def _g2_sub_many(pairs):
-    A, B = _g2_stack(pairs)
-    return _g2_unstack(F.sub_mod(A, B, FQ), len(pairs))
+    def b3_const(like):
+        return (
+            jnp.broadcast_to(_bcast(b3_limbs[0], like[0]), like[0].shape),
+            jnp.broadcast_to(_bcast(b3_limbs[1], like[1]), like[1].shape),
+        )
 
-
-def _g2_b3_const(like):
-    return (
-        jnp.broadcast_to(_bcast(_B3_G2_LIMBS[0], like[0]), like[0].shape),
-        jnp.broadcast_to(_bcast(_B3_G2_LIMBS[1], like[1]), like[1].shape),
+    return FieldOps(
+        fq2_add, fq2_sub, fq2_mul, b3_mul,
+        zero=(zero_limbs, zero_limbs),
+        one=(one_limbs, zero_limbs),
+        mul_many=mul_many,
+        b3_const=b3_const,
+        add_many=add_many,
+        sub_many=sub_many,
     )
 
 
-G2_OPS = FieldOps(
-    F.fq2_add, F.fq2_sub, F.fq2_mul, _g2_b3,
-    zero=(F.int_to_limbs(0), F.int_to_limbs(0)),
-    one=(F.int_to_limbs(FQ.r_mod), F.int_to_limbs(0)),
-    mul_many=_g2_mul_many,
-    b3_const=_g2_b3_const,
-    add_many=_g2_add_many,
-    sub_many=_g2_sub_many,
-)
+G2_OPS = make_g2_ops()
 
 
 # -- complete projective addition (RCB 2015, a=0) -----------------------------

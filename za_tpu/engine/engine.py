@@ -40,6 +40,26 @@ def _to_mont_fr(arr):
     return _to_mont_fr_jit(jnp.asarray(arr))
 
 
+_d2h_warmed = False
+
+
+def _warm_d2h_path():
+    """Force the backend's device->host transfer channel open while the
+    process holds almost no device buffers. Measured on the tunneled
+    TPU backend: the FIRST d2h copy of a process costs 20-100s -- and
+    minutes when many buffers are already live -- while every later
+    copy is sub-millisecond. Doing a 4-byte copy up front makes the
+    cost small and predictable instead of landing mid-pipeline."""
+    global _d2h_warmed
+    if _d2h_warmed:
+        return
+    _d2h_warmed = True
+    try:
+        np.asarray(jnp.zeros((1,), dtype=jnp.uint32))
+    except Exception:  # noqa: BLE001 -- warmup is best-effort
+        pass
+
+
 def _enable_compilation_cache():
     """Persist XLA compilations across processes (kernels are reused
     per pk shape; first-compile cost is paid once per machine)."""
@@ -68,6 +88,7 @@ class TpuEngine:
                  reduce_style: str | None = None,
                  msm_style: str | None = None):
         _enable_compilation_cache()
+        _warm_d2h_path()
         self.lanes = lanes
         self.window = window
         if reduce_style is None:

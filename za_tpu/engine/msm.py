@@ -678,7 +678,15 @@ def msm_limbs_dense(points, scalars, ops: FieldOps, lanes: int = 128):
         return point_add(acc, sel, ops)
 
     acc = jax.lax.fori_loop(0, C, step_body, ident_wml)
+    return _fold_and_horner(acc, ops, is_g2, L)
 
+
+def _fold_and_horner(acc, ops: FieldOps, is_g2: bool, L: int,
+                     window_bits: int = 2):
+    """Shared dense-MSM tail: lane fold + Horner window combine.
+
+    acc: point pytree, leaves (16, W, M, L) per-lane window sums.
+    Returns leaves (16, M)."""
     # recursive-doubling lane fold: after log2(L) rounds every lane
     # holds the total; one point-add instantiation, L always a pow2
     def fold_body(s, a):
@@ -697,15 +705,35 @@ def msm_limbs_dense(points, scalars, ops: FieldOps, lanes: int = 128):
 
     def horner(carry, s_w):
         shifted = jax.lax.fori_loop(
-            0, 2, lambda _, p: point_double(p, ops), carry
+            0, window_bits, lambda _, p: point_double(p, ops), carry
         )
         return point_add(shifted, s_w, ops), None
 
     ident_m = point_identity_like(
-        jax.tree_util.tree_map(lambda x: x[..., 0], points)[0], ops, is_g2
+        jax.tree_util.tree_map(lambda x: x[0], per_w)[0], ops, is_g2
     )
     result, _ = jax.lax.scan(horner, ident_m, per_w)
     return result
+
+
+def msm_limbs_dense_fused(points, scalars, ops: FieldOps,
+                          lanes: int = 128, w_tile: int = 8,
+                          interpret: bool = False):
+    """msm_limbs_dense with the chunk accumulation loop fused into a
+    Pallas TPU kernel (VMEM-resident accumulator; see pallas_msm)."""
+    from . import pallas_msm
+
+    first_leaf = jax.tree_util.tree_leaves(points)[0]
+    is_g2 = isinstance(points[0], tuple)
+    n = first_leaf.shape[2]
+    L = 1
+    while L * 2 <= min(lanes, n):
+        L *= 2
+    acc = pallas_msm.dense_msm_window_sums(
+        points, scalars, ops, is_g2, w_tile=w_tile, lanes=L,
+        interpret=interpret,
+    )
+    return _fold_and_horner(acc, ops, is_g2, L)
 
 
 # -- packed bucket storage ----------------------------------------------------

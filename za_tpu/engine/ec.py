@@ -53,8 +53,7 @@ _B3_G1_LIMBS = F.int_to_limbs(_B3_G1)
 
 
 def _bcast(const_limbs, like):
-    extra = like.ndim - 1
-    return jnp.asarray(const_limbs).reshape((F.NLIMBS,) + (1,) * extra)
+    return F._bshape(const_limbs, like)
 
 
 def make_g1_ops(fq=FQ, b3_limbs=_B3_G1_LIMBS, one_limbs=None,

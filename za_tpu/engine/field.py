@@ -138,7 +138,10 @@ def sub_borrow(a, b):
     b = jnp.broadcast_to(b, shape)
     L = a.shape[0]
     e = a + (b ^ MASK)
-    e = e.at[0].add(1)
+    # +1 at limb 0 via an iota mask (a scatter-add would not lower
+    # inside Pallas TPU kernel bodies)
+    limb0 = jax.lax.broadcasted_iota(jnp.uint32, e.shape, 0) == 0
+    e = e + jnp.where(limb0, jnp.uint32(1), jnp.uint32(0))
     # limb sums <= 2^17 - 1: one local split pass, keeping the top carry
     local_top = e[L - 1] >> LIMB_BITS
     e = (e & MASK) + _shift_up(e >> LIMB_BITS)
@@ -175,10 +178,54 @@ def geq(a, b):
 # -- modular add/sub/neg ------------------------------------------------------
 
 
+_KERNEL_CONST_MODE = False
+
+
+class kernel_const_mode:
+    """Context manager: while tracing a Pallas TPU kernel body, build
+    limb constants from scalar immediates via broadcasted_iota selects.
+    pallas_call rejects captured array constants, and a traced 1D->ND
+    reshape of a passed-in row is an unsupported Mosaic shape cast --
+    an iota/where chain of 16 scalar immediates sidesteps both."""
+
+    def __enter__(self):
+        global _KERNEL_CONST_MODE
+        self._prev = _KERNEL_CONST_MODE
+        _KERNEL_CONST_MODE = True
+
+    def __exit__(self, *exc):
+        global _KERNEL_CONST_MODE
+        _KERNEL_CONST_MODE = self._prev
+
+
+def const_limbs(np_limbs, shape):
+    """(16,) numpy limb constant -> array of `shape` (limb axis leading,
+    value broadcast over the rest), Pallas-kernel-safe when needed."""
+    np_limbs = np.asarray(np_limbs)
+    if not _KERNEL_CONST_MODE:
+        return jnp.asarray(
+            np.broadcast_to(
+                np_limbs.reshape((NLIMBS,) + (1,) * (len(shape) - 1)), shape
+            )
+        )
+    idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    out = jnp.zeros(shape, jnp.uint32)
+    for i, v in enumerate(np_limbs):
+        v = int(v)
+        if v:
+            out = jnp.where(idx == i, jnp.uint32(v), out)
+    return out
+
+
 def _bshape(modl, x):
     """Broadcast (16,) constant limbs against (16, ...) x."""
     extra = x.ndim - 1
-    return jnp.asarray(modl).reshape((NLIMBS,) + (1,) * extra)
+    shape = (NLIMBS,) + (1,) * extra
+    if isinstance(modl, np.ndarray):
+        if _KERNEL_CONST_MODE:
+            return const_limbs(modl, shape)
+        return jnp.asarray(modl.reshape(shape))
+    return jnp.asarray(modl).reshape(shape)
 
 
 def add_mod(a, b, p: FpParams):

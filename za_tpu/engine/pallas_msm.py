@@ -66,65 +66,12 @@ def _patched_mul_wide():
     return cm()
 
 
-class _FpView:
-    """Traced-constant stand-in for FpParams inside kernel bodies: the
-    group-law field ops touch only mod_limbs / np_limbs."""
-
-    __slots__ = ("mod_limbs", "np_limbs")
-
-    def __init__(self, mod_limbs, np_limbs):
-        self.mod_limbs = mod_limbs
-        self.np_limbs = np_limbs
-
-
-def _consts_array() -> np.ndarray:
-    """(4, 16) uint32: [q, q_n_prime, R mod q (Montgomery one), 3b] --
-    every curve constant a G1 kernel body needs, passed as an input."""
-    return np.stack([
-        F.FQ.mod_limbs,
-        F.FQ.np_limbs,
-        F.int_to_limbs(F.FQ.r_mod),
-        ec._B3_G1_LIMBS,
-    ]).astype(np.uint32)
-
-
-def _consts_array_g2() -> np.ndarray:
-    """(5, 16): [q, q_n_prime, R mod q, 3b.c0, 3b.c1]."""
-    return np.stack([
-        F.FQ.mod_limbs,
-        F.FQ.np_limbs,
-        F.int_to_limbs(F.FQ.r_mod),
-        ec._B3_G2_LIMBS[0],
-        ec._B3_G2_LIMBS[1],
-    ]).astype(np.uint32)
-
-
-def _kernel_ops(consts, is_g2: bool):
-    """FieldOps + identity coords built from a traced (NC, 16) consts
-    block (row layout per _consts_array*)."""
-    fq = _FpView(consts[0], consts[1])
-    one = consts[2]
-    zero = jnp.zeros_like(one)
-    if is_g2:
-        ops = ec.make_g2_ops(
-            fq, b3_limbs=(consts[3], consts[4]),
-            one_limbs=one, zero_limbs=zero,
-        )
-    else:
-        ops = ec.make_g1_ops(
-            fq, b3_limbs=consts[3], one_limbs=one, zero_limbs=zero,
-        )
-    return ops
-
-
 def _identity_coords(ops, is_g2: bool, shape):
     """(0 : 1 : 0) in Montgomery form, each coord broadcast to shape,
-    as the flat coordinate list matching _flatten order."""
-    extra = (1,) * (len(shape) - 1)
+    as the flat coordinate list matching _flatten order (built via
+    F.const_limbs, so it is Pallas-kernel-safe in kernel-const mode)."""
     one_l = ops.one[0] if is_g2 else ops.one
-    one = jnp.broadcast_to(
-        jnp.asarray(one_l).reshape((F.NLIMBS,) + extra), shape
-    )
+    one = F.const_limbs(one_l, shape)
     zero = jnp.zeros(shape, dtype=jnp.uint32)
     if is_g2:
         return [zero, zero, one, zero, zero, zero]
@@ -181,8 +128,10 @@ def dense_msm_window_sums(points, scalars, ops, is_g2: bool,
     t2 = ec.point_add(points, points, ops)
     t3 = ec.point_add(t2, points, ops)
 
-    def rsh(x):  # (16, M, n_pad) -> (16, M, C, L)
-        return x.reshape(x.shape[:-1] + (C, L))
+    def rsh(x):  # (16, M, n_pad) -> (C, 16, M, L): chunk axis leading so
+        # the per-chunk block (1, 16, M, L) keeps its last two dims equal
+        # to the full array dims (Pallas TPU block-shape constraint)
+        return jnp.moveaxis(x.reshape(x.shape[:-1] + (C, L)), 2, 0)
 
     tab_leaves = []
     for t in (points, t2, t3):
@@ -208,51 +157,49 @@ def dense_msm_window_sums(points, scalars, ops, is_g2: bool,
     )  # (C, W_pad, M, L)
 
     acc_shape = (F.NLIMBS, WT, M, L)
-    consts = _consts_array_g2() if is_g2 else _consts_array()
 
     def kernel(*refs):
-        consts_ref = refs[0]
-        tab_refs = refs[1:1 + 3 * ncoord]
-        d_ref = refs[1 + 3 * ncoord]
-        out_refs = refs[2 + 3 * ncoord: 2 + 3 * ncoord + ncoord]
-        acc_refs = refs[2 + 3 * ncoord + ncoord:]
+        tab_refs = refs[0:3 * ncoord]
+        d_ref = refs[3 * ncoord]
+        out_refs = refs[1 + 3 * ncoord: 1 + 3 * ncoord + ncoord]
+        acc_refs = refs[1 + 3 * ncoord + ncoord:]
         c = pl.program_id(1)
-        kops = _kernel_ops(consts_ref[:], is_g2)
-        ident = _identity_coords(kops, is_g2, acc_shape)
+        # kernel-const mode: limb constants become iota/where chains of
+        # scalar immediates (pallas_call rejects captured arrays and
+        # Mosaic cannot shape-cast traced 1D rows)
+        with F.kernel_const_mode(), _patched_mul_wide():
+            kops = ec.G2_OPS if is_g2 else ec.G1_OPS
+            ident = _identity_coords(kops, is_g2, acc_shape)
 
-        @pl.when(c == 0)
-        def _():
-            for r, iv in zip(acc_refs, ident):
-                r[:] = iv
+            @pl.when(c == 0)
+            def _():
+                for r, iv in zip(acc_refs, ident):
+                    r[:] = iv
 
-        d = d_ref[:][0]  # (WT, M, L)
+            d = d_ref[:][0]  # (WT, M, L)
 
-        def sel_coord(k):
-            # tab blocks are (16, M, 1, L) -> broadcast over WT
-            t1 = tab_refs[k][:][:, :, 0][:, None]          # (16,1,M,L)
-            t2_ = tab_refs[ncoord + k][:][:, :, 0][:, None]
-            t3_ = tab_refs[2 * ncoord + k][:][:, :, 0][:, None]
-            out = jnp.where(d == 1, t1, ident[k])
-            out = jnp.where(d == 2, t2_, out)
-            return jnp.where(d == 3, t3_, out)
+            def sel_coord(k):
+                # tab blocks are (1, 16, M, L) -> broadcast over WT
+                t1 = tab_refs[k][:][0][:, None]            # (16,1,M,L)
+                t2_ = tab_refs[ncoord + k][:][0][:, None]
+                t3_ = tab_refs[2 * ncoord + k][:][0][:, None]
+                out = jnp.where(d == 1, t1, ident[k])
+                out = jnp.where(d == 2, t2_, out)
+                return jnp.where(d == 3, t3_, out)
 
-        sel = _unflatten([sel_coord(k) for k in range(ncoord)], is_g2)
-        acc = _unflatten([r[:] for r in acc_refs], is_g2)
-        with _patched_mul_wide():
+            sel = _unflatten([sel_coord(k) for k in range(ncoord)], is_g2)
+            acc = _unflatten([r[:] for r in acc_refs], is_g2)
             new = ec.point_add(acc, sel, kops)
-        for r, v in zip(acc_refs, _flatten(new)):
-            r[:] = v
+            for r, v in zip(acc_refs, _flatten(new)):
+                r[:] = v
 
-        @pl.when(c == pl.num_programs(1) - 1)
-        def _():
-            for o, r in zip(out_refs, acc_refs):
-                o[:] = r[:]
+            @pl.when(c == pl.num_programs(1) - 1)
+            def _():
+                for o, r in zip(out_refs, acc_refs):
+                    o[:] = r[:]
 
-    consts_spec = pl.BlockSpec(
-        consts.shape, lambda wt, c: (0, 0), memory_space=pltpu.VMEM,
-    )
     tab_spec = pl.BlockSpec(
-        (F.NLIMBS, M, 1, L), lambda wt, c: (0, 0, c, 0),
+        (1, F.NLIMBS, M, L), lambda wt, c: (c, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     d_spec = pl.BlockSpec(
@@ -270,12 +217,15 @@ def dense_msm_window_sums(points, scalars, ops, is_g2: bool,
     outs = pl.pallas_call(
         kernel,
         grid=(n_wt, C),
-        in_specs=[consts_spec] + [tab_spec] * (3 * ncoord) + [d_spec],
+        in_specs=[tab_spec] * (3 * ncoord) + [d_spec],
         out_specs=[out_spec] * ncoord,
         out_shape=[out_shape] * ncoord,
         scratch_shapes=[pltpu.VMEM(acc_shape, jnp.uint32)] * ncoord,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(jnp.asarray(consts), *tab_leaves, digits)
+    )(*tab_leaves, digits)
 
     wsums = [o[:, :W] for o in outs]
     return _unflatten(wsums, is_g2)

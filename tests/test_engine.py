@@ -1,13 +1,40 @@
 """TPU engine tests (CPU backend, 8 virtual devices): limb field
 arithmetic, complete EC formulas, NTT, MSM, h(x) pipeline -- all
-cross-checked against the exact host implementations."""
+cross-checked against the exact host implementations.
+
+XLA:CPU compiles these kernel graphs pathologically slowly (~30s for a
+handful of Montgomery muls), so pure-correctness tests run in EAGER
+mode (identical numerics, no compile); the compiled path keeps two
+jitted canaries here plus the slow-marked kernel suite (--runslow)."""
 
 import random
+from contextlib import contextmanager
 
 import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+
+
+@contextmanager
+def eager():
+    """Disable jit within a block: correctness without XLA compiles."""
+    prev = jax.config.jax_disable_jit
+    jax.config.update("jax_disable_jit", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_disable_jit", prev)
+
+
+@pytest.fixture(autouse=True)
+def _eager_by_default(request):
+    """Every test in this module runs eager unless marked 'compiled'."""
+    if request.node.get_closest_marker("compiled"):
+        yield
+        return
+    with eager():
+        yield
 
 import za_tpu.engine.ec as EC
 import za_tpu.engine.field as F
@@ -36,6 +63,7 @@ def test_limb_roundtrip():
     assert F.limbs_to_ints(limbs) == vals
 
 
+@pytest.mark.compiled
 def test_mont_mul_matches_host():
     n = 33
     a_v, b_v = rand_fr(n), rand_fr(n)
@@ -167,6 +195,7 @@ def test_device_ntt_matches_host():
 # -- MSM ---------------------------------------------------------------------
 
 
+@pytest.mark.compiled
 def test_msm_g1_matches_host():
     host = HostEngine()
     n = 40
@@ -178,6 +207,8 @@ def test_msm_g1_matches_host():
     assert eng.msm_g1(pts, scs) == host.msm_g1(pts, scs)
 
 
+@pytest.mark.compiled
+@pytest.mark.slow
 def test_msm_g2_matches_host():
     host = HostEngine()
     n = 10
@@ -187,6 +218,8 @@ def test_msm_g2_matches_host():
     assert eng.msm_g2(pts, scs) == host.msm_g2(pts, scs)
 
 
+@pytest.mark.compiled
+@pytest.mark.slow
 def test_msm_grouped_matches_host():
     """Window-parallel grouped MSM (the TPU prove path: all four G1
     queries in one kernel) against the host golden model, including
@@ -208,6 +241,8 @@ def test_msm_grouped_matches_host():
     assert got[2] == host.msm_g1(pts[:16], scs[:16])
 
 
+@pytest.mark.compiled
+@pytest.mark.slow
 def test_msm_grouped_g2_matches_host():
     host = HostEngine()
     n = 6
@@ -218,6 +253,8 @@ def test_msm_grouped_g2_matches_host():
     assert got[0] == host.msm_g2(pts, scs)
 
 
+@pytest.mark.compiled
+@pytest.mark.slow
 def test_msm_dense_matches_host():
     """Scatter-free dense radix-4 MSM (the TPU default msm_style)."""
     host = HostEngine()
@@ -234,6 +271,8 @@ def test_msm_dense_matches_host():
     assert got[1] == host.msm_g1(pts[:12], scs[:12])
 
 
+@pytest.mark.compiled
+@pytest.mark.slow
 def test_msm_dense_g2_matches_host():
     host = HostEngine()
     n = 5
@@ -248,6 +287,8 @@ def test_msm_dense_g2_matches_host():
 # -- full prover pipeline ----------------------------------------------------
 
 
+@pytest.mark.compiled
+@pytest.mark.slow
 def test_tpu_engine_prove_matches_host():
     from za_tpu.algebra import FS, Value
     from za_tpu.compiler import Evaluator, Mode
@@ -291,6 +332,8 @@ def test_tpu_engine_prove_matches_host():
 # -- fixed-base scalar multiplication (setup path) ---------------------------
 
 
+@pytest.mark.compiled
+@pytest.mark.slow
 def test_fixed_base_g1():
     import za_tpu.engine.msm as MSM
     from za_tpu.engine.ec import G1_OPS
@@ -309,6 +352,8 @@ def test_fixed_base_g1():
         assert got == g1_mul(G1_GEN, s)
 
 
+@pytest.mark.compiled
+@pytest.mark.slow
 def test_device_setup_matches_host():
     from za_tpu.algebra import FS, Value
     from za_tpu.compiler import Evaluator, Mode

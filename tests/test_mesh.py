@@ -25,6 +25,7 @@ def mesh():
     return MESH.make_mesh(8)
 
 
+@pytest.mark.slow
 def test_sharded_ntt_roundtrip(mesh):
     n = 256
     dd = MESH.ShardedDomain(n, 8)
@@ -39,6 +40,7 @@ def test_sharded_ntt_roundtrip(mesh):
     assert got == coeffs
 
 
+@pytest.mark.slow
 def test_sharded_msm_matches_host(mesh):
     host = HostEngine()
     n = 32

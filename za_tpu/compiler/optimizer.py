@@ -13,15 +13,21 @@ removed ids become ``ignore_signals`` in the proving key.
 
 from __future__ import annotations
 
+import logging
+
 from ..algebra import FS, LC, QEQ, SIGNAL_ONE, SignalId
 from .constraints import Constraints
+
+
+log = logging.getLogger("za_tpu")
 
 
 def optimize(
     constraints: Constraints, irreducible_signals: list[SignalId]
 ) -> tuple[Constraints, list[SignalId]]:
     constraints, removed = optimize_n(constraints, irreducible_signals)
-    print(f"Optimize L1 {len(constraints)} {len(removed)}")
+    log.info("optimize: %d constraints, %d signals removed",
+             len(constraints), len(removed))
     return constraints, removed
 
 

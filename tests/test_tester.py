@@ -149,3 +149,37 @@ def test_include_and_dedup(tmp_path):
 def test_circomlib_comparators():
     """Interop check against vendored circomlib (reference interop crate)."""
     run_embedded_tests(CIRCOMLIB_ZA_TEST, "comparators.za")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(CIRCOMLIB_ZA_TEST),
+    reason="circomlib interop fixtures not mounted",
+)
+def test_circomlib_full_suite():
+    """The full circomlib conformance suite (reference interop crate,
+    interop/src/lib.rs:27-46): sha256, EdDSA-MiMC/Poseidon, SMT
+    verifier/processor, babyjub, comparators -- ~3 minutes."""
+    run_embedded_tests(CIRCOMLIB_ZA_TEST, "all.za")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.dirname(CIRCOMLIB_ZA_TEST)),
+    reason="circomlib interop fixtures not mounted",
+)
+def test_parse_all_circom_sources():
+    """Every vendored circomlib .circom file parses (reference
+    interop/src/lib.rs:9-24; exercises the /*#[]#*/ unescape path)."""
+    from za_tpu.lang.parser import parse
+
+    root = os.path.join(os.path.dirname(CIRCOMLIB_ZA_TEST), "circuits")
+    files = sorted(
+        os.path.join(dirpath, f)
+        for dirpath, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".circom")
+    )
+    assert len(files) >= 25, f"expected vendored circuits, found {len(files)}"
+    for path in files:
+        with open(path) as fh:
+            parse(fh.read())

@@ -207,6 +207,241 @@ def make_g2_ops(fq=FQ, b3_limbs=_B3_G2_LIMBS, one_limbs=None,
 G2_OPS = make_g2_ops()
 
 
+# -- RNS-backed FieldOps (the MXU compute path; za_tpu.engine.rns) ------------
+# Same complete RCB group law, field elements as 35-channel residue
+# vectors in M1-Montgomery form. The integer bound discipline of
+# rns.mont_mul_rns (inputs < 64N) is satisfied by the RCB dataflow:
+# coordinates stay < 36N, pre-mul sums < 44N (see rns.py docstring).
+
+
+def make_g1_ops_rns(ctx=None) -> "FieldOps":
+    from . import rns as RNS
+
+    if ctx is None:
+        ctx = RNS.RQ
+
+    def mul(a, b):
+        return RNS.mont_mul_rns(a, b, ctx)
+
+    b3_rns = ctx.ints_to_rns([ctx.to_mont_int(9)])[:, 0]
+
+    def b3_mul(a):
+        return RNS.mont_mul_rns(a, _bcast(b3_rns, a), ctx)
+
+    def mul_many(pairs):
+        k = len(pairs)
+        A = jnp.stack([a for a, _ in pairs], axis=1)
+        B = jnp.stack([b for _, b in pairs], axis=1)
+        P = RNS.mont_mul_rns(A, B, ctx)
+        return [P[:, i] for i in range(k)]
+
+    def add_many(pairs):
+        A = jnp.stack([a for a, _ in pairs], axis=1)
+        B = jnp.stack([b for _, b in pairs], axis=1)
+        S = RNS.ch_add(A, B, ctx)
+        return [S[:, i] for i in range(len(pairs))]
+
+    def sub_many(pairs):
+        A = jnp.stack([a for a, _ in pairs], axis=1)
+        B = jnp.stack([b for _, b in pairs], axis=1)
+        S = RNS.ch_sub_off(A, B, ctx)
+        return [S[:, i] for i in range(len(pairs))]
+
+    def b3_const(like):
+        return jnp.broadcast_to(_bcast(b3_rns, like), like.shape)
+
+    return FieldOps(
+        lambda a, b: RNS.ch_add(a, b, ctx),
+        lambda a, b: RNS.ch_sub_off(a, b, ctx),
+        mul, b3_mul,
+        zero=np.zeros(RNS.N_CH, dtype=np.uint32),
+        one=ctx.one_rns,
+        mul_many=mul_many,
+        b3_const=b3_const,
+        add_many=add_many,
+        sub_many=sub_many,
+    )
+
+
+def make_g2_ops_rns(ctx=None) -> "FieldOps":
+    """G2 over Fq2 pairs of RNS channel vectors (Karatsuba, all three
+    channel products fused into one stacked mont_mul)."""
+    from . import rns as RNS
+
+    if ctx is None:
+        ctx = RNS.RQ
+
+    b3_rns = (
+        ctx.ints_to_rns([ctx.to_mont_int((3 * B2.c0) % Q)])[:, 0],
+        ctx.ints_to_rns([ctx.to_mont_int((3 * B2.c1) % Q)])[:, 0],
+    )
+
+    def fq2_add(a, b):
+        return (RNS.ch_add(a[0], b[0], ctx), RNS.ch_add(a[1], b[1], ctx))
+
+    def fq2_sub(a, b):
+        return (
+            RNS.ch_sub_off(a[0], b[0], ctx),
+            RNS.ch_sub_off(a[1], b[1], ctx),
+        )
+
+    def mul_many(pairs):
+        """(a0+a1 i)(b0+b1 i): per pair the products a0b0, a1b1,
+        a0b1, a1b0 -- schoolbook (4k channel products in one stacked
+        mul; Karatsuba's (a0+a1)(b0+b1) would double the input bounds
+        for a 25% mul saving -- revisit if the budget ever allows).
+
+        The C0 subtraction uses the 8N offset (t11 < 4N always) so the
+        component bounds stay stationary: mul out (c0, c1) < (12N, 8N),
+        coordinates < (44N, 40N), pre-mul sums < (68N, 56N) -- inside
+        the 512N mont_mul contract."""
+        k = len(pairs)
+        A0 = jnp.stack([a[0] for a, _ in pairs], axis=1)
+        A1 = jnp.stack([a[1] for a, _ in pairs], axis=1)
+        B0 = jnp.stack([b[0] for _, b in pairs], axis=1)
+        B1 = jnp.stack([b[1] for _, b in pairs], axis=1)
+        A = jnp.concatenate([A0, A0, A1, A1], axis=1)
+        B = jnp.concatenate([B0, B1, B0, B1], axis=1)
+        P = RNS.mont_mul_rns(A, B, ctx)
+        t00 = P[:, :k]
+        t01 = P[:, k : 2 * k]
+        t10 = P[:, 2 * k : 3 * k]
+        t11 = P[:, 3 * k :]
+        C0 = RNS.ch_sub_off(t00, t11, ctx, off_vec=ctx.sub_off8)
+        C1 = RNS.ch_add(t01, t10, ctx)
+        return [(C0[:, i], C1[:, i]) for i in range(k)]
+
+    def fq2_mul(a, b):
+        return mul_many([(a, b)])[0]
+
+    def b3_mul(a):
+        c = (_bcast(b3_rns[0], a[0]), _bcast(b3_rns[1], a[1]))
+        return fq2_mul(a, c)
+
+    def _stack(pairs):
+        A = jnp.stack(
+            [a[0] for a, _ in pairs] + [a[1] for a, _ in pairs], axis=1
+        )
+        B = jnp.stack(
+            [b[0] for _, b in pairs] + [b[1] for _, b in pairs], axis=1
+        )
+        return A, B
+
+    def _unstack(S, k):
+        return [(S[:, i], S[:, k + i]) for i in range(k)]
+
+    def add_many(pairs):
+        A, B = _stack(pairs)
+        return _unstack(RNS.ch_add(A, B, ctx), len(pairs))
+
+    def sub_many(pairs):
+        A, B = _stack(pairs)
+        return _unstack(RNS.ch_sub_off(A, B, ctx), len(pairs))
+
+    def b3_const(like):
+        return (
+            jnp.broadcast_to(_bcast(b3_rns[0], like[0]), like[0].shape),
+            jnp.broadcast_to(_bcast(b3_rns[1], like[1]), like[1].shape),
+        )
+
+    zero = np.zeros(RNS.N_CH, dtype=np.uint32)
+    return FieldOps(
+        fq2_add, fq2_sub, fq2_mul, b3_mul,
+        zero=(zero, zero),
+        one=(ctx.one_rns, zero),
+        mul_many=mul_many,
+        b3_const=b3_const,
+        add_many=add_many,
+        sub_many=sub_many,
+    )
+
+
+# -- RNS staging / unstaging helpers ------------------------------------------
+
+
+_l2r_jit = None
+
+
+def _limbs_to_rns_mont(limbs, ctx):
+    """(16, n) plain limb values -> (35, n) Montgomery RNS residues,
+    on device (matmul conversion + one RNS mul by M1^2)."""
+    global _l2r_jit
+    from . import rns as RNS
+
+    if _l2r_jit is None:
+        _l2r_jit = jax.jit(
+            lambda a: RNS.to_mont_rns(RNS.limbs_to_rns(a, RNS.RQ), RNS.RQ)
+        )
+    return _l2r_jit(jnp.asarray(limbs))
+
+
+def g1_points_to_rns(points, ctx=None) -> tuple:
+    """list of affine G1 (or None) -> projective Montgomery RNS arrays
+    (X, Y, Z) each (35, n). None -> (0:1:0)."""
+    xs = [0 if p is None else p[0] for p in points]
+    ys = [1 if p is None else p[1] for p in points]
+    zs = [0 if p is None else 1 for p in points]
+    from . import rns as RNS
+
+    ctx = ctx or RNS.RQ
+    return tuple(
+        _limbs_to_rns_mont(F.ints_to_limbs(v), ctx) for v in (xs, ys, zs)
+    )
+
+
+def g2_points_to_rns(points, ctx=None) -> tuple:
+    from . import rns as RNS
+
+    ctx = ctx or RNS.RQ
+    x0 = [0 if p is None else p[0].c0 for p in points]
+    x1 = [0 if p is None else p[0].c1 for p in points]
+    y0 = [1 if p is None else p[1].c0 for p in points]
+    y1 = [0 if p is None else p[1].c1 for p in points]
+    z0 = [0 if p is None else 1 for p in points]
+    z1 = [0] * len(points)
+
+    def cv(v):
+        return _limbs_to_rns_mont(F.ints_to_limbs(v), ctx)
+
+    return ((cv(x0), cv(x1)), (cv(y0), cv(y1)), (cv(z0), cv(z1)))
+
+
+def g1_point_from_rns(X, Y, Z, ctx=None):
+    """Single projective RNS point (batch size 1) -> host affine tuple
+    or None (host-side CRT + inversion: final MSM outputs only)."""
+    from . import rns as RNS
+
+    ctx = ctx or RNS.RQ
+    arr = np.stack(
+        [np.asarray(c).reshape(RNS.N_CH, -1)[:, 0] for c in (X, Y, Z)],
+        axis=1,
+    )
+    x, y, z = [ctx.from_mont_int(v) % Q for v in ctx.rns_to_ints(arr)]
+    if z == 0:
+        return None
+    zinv = pow(z, -1, Q)
+    return (x * zinv % Q, y * zinv % Q)
+
+
+def g2_point_from_rns(X, Y, Z, ctx=None):
+    from ..curve import Fq2
+    from . import rns as RNS
+
+    ctx = ctx or RNS.RQ
+
+    def cv(c):
+        v = ctx.rns_to_ints(np.asarray(c).reshape(RNS.N_CH, -1)[:, :1])[0]
+        return ctx.from_mont_int(v) % Q
+
+    x = Fq2(cv(X[0]), cv(X[1]))
+    y = Fq2(cv(Y[0]), cv(Y[1]))
+    z = Fq2(cv(Z[0]), cv(Z[1]))
+    if z.is_zero():
+        return None
+    zinv = z.inv()
+    return (x * zinv, y * zinv)
+
+
 # -- complete projective addition (RCB 2015, a=0) -----------------------------
 
 

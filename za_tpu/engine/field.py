@@ -218,9 +218,10 @@ def const_limbs(np_limbs, shape):
 
 
 def _bshape(modl, x):
-    """Broadcast (16,) constant limbs against (16, ...) x."""
+    """Broadcast a (rows,) constant vector against (rows, ...) x
+    (16 limbs, or 35 RNS channels -- see za_tpu.engine.rns)."""
     extra = x.ndim - 1
-    shape = (NLIMBS,) + (1,) * extra
+    shape = (np.asarray(modl).shape[0],) + (1,) * extra
     if isinstance(modl, np.ndarray):
         if _KERNEL_CONST_MODE:
             return const_limbs(modl, shape)

@@ -23,13 +23,15 @@ DEFAULT_VERIFIER_SOLIDITY = "verifier.sol"
 DEFAULT_VERIFIER_JSON = "verifier.json"
 
 
-def _engine(name: str):
+def _engine(name: str, mesh: int = 0):
     if name == "host":
+        if mesh:
+            raise SystemExit("--mesh requires --engine tpu")
         return None
     if name == "tpu":
         from .engine import TpuEngine
 
-        return TpuEngine()
+        return TpuEngine(mesh_devices=mesh or None)
     raise SystemExit(f"unknown engine {name}")
 
 
@@ -65,7 +67,8 @@ def cmd_setup(args):
     from .groth16 import helper
 
     verifier = helper.setup(
-        args.circuit, args.pk, args.verifiertype, engine=_engine(args.engine)
+        args.circuit, args.pk, args.verifiertype,
+        engine=_engine(args.engine, args.mesh),
     )
     verifier_file = args.verifier or (
         DEFAULT_VERIFIER_SOLIDITY
@@ -85,7 +88,8 @@ def cmd_prove(args):
 
     with open(args.input) as f:
         inputs = fmt.flatten_json("main", f.read())
-    proof = helper.prove(args.pk, inputs, engine=_engine(args.engine))
+    proof = helper.prove(args.pk, inputs,
+                         engine=_engine(args.engine, args.mesh))
     with open(args.proof, "w") as f:
         f.write(proof)
     print(f"proof written to {args.proof}")
@@ -138,6 +142,8 @@ def main(argv=None):
     p.add_argument("--verifier", default=None)
     p.add_argument("--verifiertype", default="solidity", choices=["solidity", "json"])
     p.add_argument("--engine", default="host", choices=["host", "tpu"])
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard MSM/NTT/matvec over N devices (TPU engine)")
     p.set_defaults(fn=cmd_setup)
 
     p = sub.add_parser("prove", help="Generate a proof")
@@ -145,6 +151,8 @@ def main(argv=None):
     p.add_argument("--input", default=DEFAULT_INPUT)
     p.add_argument("--proof", default=DEFAULT_PROOF)
     p.add_argument("--engine", default="host", choices=["host", "tpu"])
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard MSM/NTT/matvec over N devices (TPU engine)")
     p.set_defaults(fn=cmd_prove)
 
     p = sub.add_parser("test", help="Run embedded circuit tests")

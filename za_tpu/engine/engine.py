@@ -86,30 +86,48 @@ class TpuEngine:
 
     def __init__(self, lanes: int | None = None, window: int | None = None,
                  reduce_style: str | None = None,
-                 msm_style: str | None = None):
+                 msm_style: str | None = None,
+                 mesh_devices: int | None = None):
         _enable_compilation_cache()
         _warm_d2h_path()
         self.lanes = lanes
         self.window = window
+        # multi-chip: shard MSM point streams, R1CS matvec rows, and
+        # the NTT domain over a 1-D device mesh (SURVEY.md section 2.4;
+        # collectives ride ICI). mesh_devices=N uses the first N
+        # visible devices; requires msm_style "rns" (the default).
+        self.mesh = None
+        self._mesh_d = 1
+        if mesh_devices is not None and mesh_devices > 1:
+            from . import mesh as MESH
+
+            self.mesh = MESH.make_mesh(mesh_devices)
+            self._mesh_d = mesh_devices
+            if msm_style is None:
+                msm_style = "rns"
         if reduce_style is None:
             reduce_style = "hybrid" if jax.default_backend() == "tpu" else "scan"
         self.reduce_style = reduce_style
         self.layout = "packed" if jax.default_backend() == "tpu" else "limb"
-        # batched multi-MSM dispatch: the TPU default (per-window
-        # dispatch is latency-bound); CPU tests keep the per-window
-        # scan path (graph size)
-        self.use_grouped = jax.default_backend() == "tpu"
-        # 'dense' = scatter-free radix-4 select + tree reduce (TPU:
-        # scatters rewrite their whole operand, gathers cost ~50ns/row,
-        # so bucketed Pippenger is movement-bound); 'grouped' = bucket
-        # accumulation (optimal work count -- wins where gathers are
-        # cheap, i.e. CPU)
-        # 'fused' = the dense radix-4 loop in a Pallas TPU kernel
-        # (VMEM-resident accumulators: ~6x the XLA dense path, which
-        # streams every field-op temp through HBM)
+        # 'rns' = signed radix-16 dense MSM over the RNS field engine
+        # (engine/rns.py: channel residues + int8-MXU base extension;
+        # 6.8x the fused limb kernel, measured) -- the TPU default.
+        # 'dense' = scatter-free radix-4 limb select + tree reduce;
+        # 'grouped' = bucket accumulation (optimal work count -- wins
+        # where gathers are cheap, i.e. CPU); 'fused' = the dense
+        # radix-4 limb loop in a Pallas TPU kernel.
         if msm_style is None:
-            msm_style = "fused" if jax.default_backend() == "tpu" else "grouped"
+            msm_style = "rns" if jax.default_backend() == "tpu" else "grouped"
         self.msm_style = msm_style
+        # batched multi-MSM dispatch: required by the rns/mesh paths
+        # (msm_g1_many is their only entry); the TPU default elsewhere
+        # (per-window dispatch is latency-bound); CPU limb tests keep
+        # the per-window scan path (graph size)
+        self.use_grouped = (
+            jax.default_backend() == "tpu"
+            or msm_style == "rns"
+            or self.mesh is not None
+        )
         self._domains: dict[int, NTT.DeviceDomain] = {}
         self._jit_cache: dict = {}
 
@@ -162,11 +180,16 @@ class TpuEngine:
     # -- grouped same-shape MSMs (window-parallel) -----------------------------
 
     def stage_g1(self, points: list[G1Point]):
-        """Host points -> device limb arrays once (pk staging); the
-        result can be passed to msm_g1_many in place of a point list."""
+        """Host points -> device arrays once (pk staging, in the
+        engine's MSM representation); the result can be passed to
+        msm_g1_many in place of a point list."""
+        if self.msm_style == "rns":
+            return ec.g1_points_to_rns(points)
         return ec.g1_points_to_device(points)
 
     def stage_g2(self, points: list[G2Point]):
+        if self.msm_style == "rns":
+            return ec.g2_points_to_rns(points)
         return ec.g2_points_to_device(points)
 
     def _scalars_limbs(self, scalars, n: int) -> np.ndarray:
@@ -184,6 +207,32 @@ class TpuEngine:
         key = ("grp", kind, M, n, c, lanes, self.reduce_style,
                self.msm_style)
         if key not in self._jit_cache:
+            if self.msm_style == "rns":
+                ops = (
+                    ec.make_g1_ops_rns() if kind == "g1"
+                    else ec.make_g2_ops_rns()
+                )
+                if self.mesh is not None:
+                    from . import mesh as MESH
+
+                    n_loc = max(n // self._mesh_d, 1)
+                    L = 1
+                    while L * 2 <= min(self.lanes or 128, n_loc):
+                        L *= 2
+                    self._jit_cache[key] = MESH.sharded_signed_msm_fn(
+                        self.mesh, ops, c=4, lanes=L,
+                        is_g2=(kind == "g2"),
+                    )
+                    return self._jit_cache[key]
+
+                def run(points, scalars):
+                    return MSM.msm_signed_dense(
+                        points, scalars, ops,
+                        c=4, lanes=self.lanes or 128,
+                    )
+
+                self._jit_cache[key] = jax.jit(run)
+                return self._jit_cache[key]
             ops = ec.G1_OPS if kind == "g1" else ec.G2_OPS
 
             if self.msm_style == "fused":
@@ -205,7 +254,12 @@ class TpuEngine:
     def _msm_many(self, kind: str, points_list, scalars_list):
         is_g2 = kind == "g2"
         M = len(points_list)
-        stage = ec.g2_points_to_device if is_g2 else ec.g1_points_to_device
+        if self.msm_style == "rns":
+            stage = ec.g2_points_to_rns if is_g2 else ec.g1_points_to_rns
+        else:
+            stage = (
+                ec.g2_points_to_device if is_g2 else ec.g1_points_to_device
+            )
 
         def npoints(p):
             if isinstance(p, tuple):  # staged limb arrays
@@ -240,6 +294,21 @@ class TpuEngine:
         if self.lanes is not None:
             lanes = self.lanes
         X, Y, Z = self._grouped_jit(kind, M, n, c, lanes)(points, scalars)
+        if self.msm_style == "rns":
+            if is_g2:
+                return [
+                    ec.g2_point_from_rns(
+                        (np.asarray(X[0])[:, i], np.asarray(X[1])[:, i]),
+                        (np.asarray(Y[0])[:, i], np.asarray(Y[1])[:, i]),
+                        (np.asarray(Z[0])[:, i], np.asarray(Z[1])[:, i]),
+                    )
+                    for i in range(M)
+                ]
+            Xn, Yn, Zn = np.asarray(X), np.asarray(Y), np.asarray(Z)
+            return [
+                ec.g1_point_from_rns(Xn[:, i], Yn[:, i], Zn[:, i])
+                for i in range(M)
+            ]
         if is_g2:
             return [
                 ec.g2_point_from_device(
@@ -406,10 +475,116 @@ class TpuEngine:
         cz = self._matvec_jit(n, c_ent[1].shape[0])(z_mont, *c_ent)
         return bool(self._piece("sat_check")(az, bz, cz))
 
+    @staticmethod
+    def _pack_rows_sharded(rows, m: int, D: int):
+        """Sparse rows -> per-shard (coeffs (D, 16, nnz), colidx
+        (D, nnz), rowidx (D, nnz)) with row indices local to the
+        shard's [d*m/D, (d+1)*m/D) block and nnz padded to the max
+        shard (zero-coefficient entries are harmless)."""
+        m_loc = m // D
+        per = [[[], [], []] for _ in range(D)]
+        for k, row in enumerate(rows):
+            d = k // m_loc
+            for var, coeff in row:
+                per[d][0].append(coeff)
+                per[d][1].append(var)
+                per[d][2].append(k - d * m_loc)
+        nnz = _pad_pow2ish(max(max(len(p[0]) for p in per), 1))
+        coeffs = np.zeros((F.NLIMBS, D, nnz), dtype=np.uint32)
+        cols = np.zeros((D, nnz), dtype=np.int32)
+        rowids = np.zeros((D, nnz), dtype=np.int32)
+        for d in range(D):
+            c, v, r = per[d]
+            if c:
+                coeffs[:, d, : len(c)] = F.ints_to_limbs(c)
+                cols[d, : len(c)] = v
+                rowids[d, : len(c)] = r
+        cm = _to_mont_fr(jnp.asarray(coeffs.reshape(F.NLIMBS, D * nnz)))
+        return (
+            jnp.moveaxis(cm.reshape(F.NLIMBS, D, nnz), 0, 1),
+            jnp.asarray(cols),
+            jnp.asarray(rowids),
+        )
+
+    def _mesh_h_tools(self, r1cs: R1CS, m: int):
+        """Sharded matvec + NTT callables for domain size m (cached)."""
+        from . import mesh as MESH
+
+        key = ("mesh_h", m)
+        tools = self._jit_cache.get(key)
+        if tools is None:
+            D = self._mesh_d
+            dd = MESH.ShardedDomain(m, D)
+            tools = {
+                "ntt": MESH.sharded_ntt_fn(self.mesh, dd, inverse=False),
+                "intt": MESH.sharded_ntt_fn(self.mesh, dd, inverse=True),
+                "mv": None,  # filled per-nnz below
+            }
+            self._jit_cache[key] = tools
+        ent = getattr(r1cs, "_dev_entries_sharded", None)
+        if ent is None:
+            D = self._mesh_d
+            ent = tuple(
+                self._pack_rows_sharded(rows, m, D)
+                for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)
+            )
+            r1cs._dev_entries_sharded = ent
+        nnz = ent[0][1].shape[1]
+        mv_key = ("mesh_mv", m, nnz)
+        mv = self._jit_cache.get(mv_key)
+        if mv is None:
+            from . import mesh as MESH
+
+            mv = MESH.sharded_matvec_fn(self.mesh, m, nnz)
+            self._jit_cache[mv_key] = mv
+        return tools, ent, mv
+
+    def _h_coeffs_limbs_mesh(self, r1cs: R1CS, z: list[int],
+                             domain: Domain) -> np.ndarray:
+        """h(x) with every heavy stage sharded over the mesh: per-row
+        sharded A/B/C matvecs (segment_sum per shard), four-step NTTs
+        with all_to_all over the mesh axis, elementwise stages under
+        jit (GSPMD propagates the domain sharding)."""
+        m = domain.size
+        tools, ent, mv = self._mesh_h_tools(r1cs, m)
+        dom = self._domain(m)
+        z_mont = _to_mont_fr(F.ints_to_limbs([v % R for v in z]))
+
+        n = r1cs.num_constraints
+        az0 = np.zeros((F.NLIMBS, m), dtype=np.uint32)
+        az0[:, n : n + r1cs.num_inputs] = np.asarray(z_mont)[
+            :, : r1cs.num_inputs
+        ]
+        zero0 = jnp.zeros((F.NLIMBS, m), dtype=jnp.uint32)
+        finish = self._piece("mv_finish")
+        scale = NTT._scale()
+
+        def leg(e, base):
+            plain = mv(z_mont, *e)
+            evals = finish(plain, base)
+            coeffs = tools["intt"](evals)
+            return tools["ntt"](scale(coeffs, dom.coset_pow))
+
+        a_c = leg(ent[0], jnp.asarray(az0))
+        b_c = leg(ent[1], zero0)
+        c_c = leg(ent[2], zero0)
+        hc = self._piece("h_combine")(a_c, b_c, c_c, dom.z_coset_inv)
+        h = tools["intt"](hc)
+        h = self._piece("from_mont")(scale(h, dom.coset_inv_nofold))
+        h = np.asarray(h)
+        assert not h[:, m - 1].any(), (
+            "h(x) degree overflow: witness unsatisfied?"
+        )
+        return h[:, : m - 1]
+
     def h_coeffs_limbs(self, r1cs: R1CS, z: list[int],
                        domain: Domain) -> np.ndarray:
         """h_0..h_{m-2} as a plain-form (16, m-1) limb array -- feeds
         msm_g1_many directly without a host int round-trip."""
+        if self.mesh is not None and domain.size >= self._mesh_d ** 2:
+            # the four-step sharded NTT needs D^2 | m; tiny domains
+            # stay single-device
+            return self._h_coeffs_limbs_mesh(r1cs, z, domain)
         m = domain.size
         a_ent, b_ent, c_ent = self._r1cs_entries(r1cs)
         dom = self._domain(m)

@@ -48,6 +48,13 @@ def _pvary(tree):
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"mesh needs {n} devices, have {len(devs)} (virtual CPU "
+            "meshes: XLA_FLAGS=--xla_force_host_platform_device_count)"
+        )
+    if n & (n - 1):
+        raise RuntimeError(f"mesh size must be a power of two, got {n}")
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
@@ -159,6 +166,102 @@ def sharded_msm_fn(mesh: Mesh, ops, c: int, lanes: int, is_g2: bool,
         return jax.tree_util.tree_map(lambda x: x[0], out)
 
     return run
+
+
+# -- sharded signed-dense MSM (the production multi-chip MSM) -----------------
+# Point stream and scalars split per chip along n; each chip computes
+# its chunk's per-lane window sums and lane-folds them locally; the
+# per-window partial sums (leaves (rows, W, M)) are combined across
+# chips with an all_gather + point-add reduce over ICI (the point-group
+# psum); the Horner window combine then runs identically everywhere.
+
+
+def signed_msm_sharded(points, scalars, ops, c: int, L: int):
+    """Shard-local body (runs under shard_map)."""
+    first_leaf = jax.tree_util.tree_leaves(points)[0]
+    is_g2 = isinstance(points[0], tuple)
+    acc = MSM.signed_window_sums(
+        points, scalars, ops, c, L, pvary_axis=AXIS
+    )
+    wsum = MSM.lane_fold(acc, ops, L)  # (rows, W, M)
+
+    gathered = jax.lax.all_gather(wsum, AXIS)  # leaves (D, rows, W, M)
+    fst = jax.tree_util.tree_map(lambda x: x[0], gathered)
+    rst = jax.tree_util.tree_map(lambda x: x[1:], gathered)
+
+    def dev_body(a, dev):
+        return ec.point_add(a, dev, ops), None
+
+    total, _ = jax.lax.scan(dev_body, fst, rst)
+    result = MSM.horner_windows(total, ops, is_g2, c, pvary_axis=AXIS)
+    # replicated result; expose with a leading device axis (see
+    # msm_limbs_sharded)
+    return jax.tree_util.tree_map(lambda x: x[None], result)
+
+
+def sharded_signed_msm_fn(mesh: Mesh, ops, c: int = 4, lanes: int = 8,
+                          is_g2: bool = False):
+    """Jitted sharded signed-dense MSM. points leaves (rows, M, n) and
+    scalars (16, M, n) sharded on n; n/D must be a multiple of lanes."""
+    if is_g2:
+        pt_spec = ((P(None, None, AXIS),) * 2,) * 3
+        out_spec = ((P(AXIS, None, None),) * 2,) * 3
+    else:
+        pt_spec = (P(None, None, AXIS),) * 3
+        out_spec = (P(AXIS, None, None),) * 3
+
+    fn = shard_map(
+        partial(signed_msm_sharded, ops=ops, c=c, L=lanes),
+        mesh=mesh,
+        in_specs=(pt_spec, P(None, None, AXIS)),
+        out_specs=out_spec,
+    )
+
+    @jax.jit
+    def run(points, scalars):
+        out = fn(points, scalars)
+        return jax.tree_util.tree_map(lambda x: x[0], out)
+
+    return run
+
+
+# -- sharded R1CS matvec --------------------------------------------------------
+# A/B/C sparse rows partitioned by constraint row (SURVEY.md section
+# 2.4 row 3): each chip owns a contiguous row block [d*m/D, (d+1)*m/D)
+# and that block's nnz entries (host-padded to equal length); the
+# witness vector is replicated; per-shard segment_sum matvec; outputs
+# concatenate along the domain axis (already the NTT's shard layout).
+
+
+def sharded_matvec_fn(mesh: Mesh, m: int, nnz_shard: int):
+    """(16, nv) Mont witness (replicated), per-shard entries
+    (coeffs (D, 16, nnz), colidx (D, nnz), rowidx (D, nnz) with
+    row indices LOCAL to the shard) -> (16, m) plain-form, sharded."""
+    D = mesh.devices.size
+    m_loc = m // D
+
+    def body(z_mont, coeffs, colidx, rowidx):
+        prod = F.mont_mul(coeffs[0], z_mont[:, colidx[0]], FR)
+        sums = jax.ops.segment_sum(
+            prod.T, rowidx[0], num_segments=m_loc
+        ).T  # (16, m_loc) digit sums
+        lo = sums & F.MASK
+        hi = sums >> F.LIMB_BITS
+        wide = jnp.zeros((2 * F.NLIMBS, m_loc), dtype=jnp.uint32)
+        wide = wide.at[: F.NLIMBS].add(lo)
+        wide = wide.at[1 : F.NLIMBS + 1].add(hi)
+        return F.redc_wide(wide, FR)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(AXIS, None, None), P(AXIS, None),
+            P(AXIS, None),
+        ),
+        out_specs=P(None, AXIS),
+    )
+    return jax.jit(fn)
 
 
 # -- sharded four-step NTT ----------------------------------------------------

@@ -681,14 +681,10 @@ def msm_limbs_dense(points, scalars, ops: FieldOps, lanes: int = 128):
     return _fold_and_horner(acc, ops, is_g2, L)
 
 
-def _fold_and_horner(acc, ops: FieldOps, is_g2: bool, L: int,
-                     window_bits: int = 2):
-    """Shared dense-MSM tail: lane fold + Horner window combine.
-
-    acc: point pytree, leaves (16, W, M, L) per-lane window sums.
-    Returns leaves (16, M)."""
-    # recursive-doubling lane fold: after log2(L) rounds every lane
-    # holds the total; one point-add instantiation, L always a pow2
+def lane_fold(acc, ops: FieldOps, L: int):
+    """Recursive-doubling lane fold: leaves (.., L) -> (..) totals.
+    After log2(L) roll+add rounds every lane holds the sum; one
+    point-add instantiation, L always a pow2."""
     def fold_body(s, a):
         rolled = jax.tree_util.tree_map(
             lambda x: jnp.roll(x, jnp.left_shift(1, s), axis=-1), a
@@ -696,12 +692,16 @@ def _fold_and_horner(acc, ops: FieldOps, is_g2: bool, L: int,
         return point_add(a, rolled, ops)
 
     acc = jax.lax.fori_loop(0, L.bit_length() - 1, fold_body, acc)
-    wsum = jax.tree_util.tree_map(lambda x: x[..., 0], acc)  # (16, W, M)
+    return jax.tree_util.tree_map(lambda x: x[..., 0], acc)
 
-    # Horner over windows, MSB first, batch M
+
+def horner_windows(wsum, ops: FieldOps, is_g2: bool, window_bits: int,
+                   pvary_axis: str | None = None):
+    """Combine per-window sums (leaves (rows, W, M)) MSB-first with
+    window_bits doublings per step; returns leaves (rows, M)."""
     per_w = jax.tree_util.tree_map(
         lambda x: jnp.moveaxis(x, 1, 0)[::-1], wsum
-    )  # leaves (W, 16, M)
+    )  # leaves (W, rows, M)
 
     def horner(carry, s_w):
         shifted = jax.lax.fori_loop(
@@ -712,8 +712,25 @@ def _fold_and_horner(acc, ops: FieldOps, is_g2: bool, L: int,
     ident_m = point_identity_like(
         jax.tree_util.tree_map(lambda x: x[0], per_w)[0], ops, is_g2
     )
+    if pvary_axis is not None:
+        try:
+            ident_m = jax.tree_util.tree_map(
+                lambda x: jax.lax.pvary(x, pvary_axis), ident_m
+            )
+        except AttributeError:
+            pass
     result, _ = jax.lax.scan(horner, ident_m, per_w)
     return result
+
+
+def _fold_and_horner(acc, ops: FieldOps, is_g2: bool, L: int,
+                     window_bits: int = 2):
+    """Shared dense-MSM tail: lane fold + Horner window combine.
+
+    acc: point pytree, leaves (rows, W, M, L) per-lane window sums.
+    Returns leaves (rows, M)."""
+    wsum = lane_fold(acc, ops, L)
+    return horner_windows(wsum, ops, is_g2, window_bits)
 
 
 def msm_limbs_dense_fused(points, scalars, ops: FieldOps,
@@ -734,6 +751,165 @@ def msm_limbs_dense_fused(points, scalars, ops: FieldOps,
         interpret=interpret,
     )
     return _fold_and_horner(acc, ops, is_g2, L)
+
+
+# -- signed-digit dense MSM ---------------------------------------------------
+# The radix-4 dense MSM does ceil(254/2) = 127 point adds per point.
+# Signed base-2^c digits halve the table span (digits in [-2^(c-1),
+# 2^(c-1)], negation is a Y-flip): at c=4 the work drops to 64 adds +
+# 7 table-build adds per point (~1.8x). Representation-agnostic over
+# FieldOps -- used with the RNS ops (engine/rns.py) on TPU and the
+# limb ops in tests.
+
+
+def signed_digits(scalars, c: int):
+    """(16, ...) plain u16-limb scalars (< 2^254) -> (W, ...) int32
+    signed digits, value = sum d_w * 2^(c*w), d_w in [-2^(c-1), 2^(c-1)].
+
+    Closed form (no carry scan): with A_w = floor(s/2^(c*w) + 1/2),
+    d_w = A_w - 2^c*A_{w+1} = raw_w + topbit(raw_{w-1}) -
+    2^c*topbit(raw_w), where topbit(r) = r >> (c-1)."""
+    assert 16 % c == 0, "c must divide the limb width"
+    shape = scalars.shape
+    flat = scalars.reshape(F.NLIMBS, -1)
+    W = -(-254 // c)
+    raw = digits_from_limbs(flat, c)[:W].astype(jnp.int32)  # (W, n)
+    top = raw >> (c - 1)  # 0/1
+    prev_top = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]])
+    d = raw + prev_top - (top << c)
+    return d.reshape((W,) + shape[1:])
+
+
+def _tree_zeros(pt):
+    return jax.tree_util.tree_map(jnp.zeros_like, pt)
+
+
+def _tree_where(cond, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(cond, x, y), a, b
+    )
+
+
+def point_neg(pt, ops: FieldOps):
+    """(X, Y, Z) -> (X, -Y, Z), representation-agnostic: -Y as
+    ops.sub(0, Y) (limb: N - Y; RNS: offset - Y)."""
+    X, Y, Z = pt
+    return (X, ops.sub(_tree_zeros(Y), Y), Z)
+
+
+def build_multiples(points, ops: FieldOps, half: int):
+    """[P, 2P, ..., half*P] as a list of point pytrees (half-1 batched
+    adds)."""
+    tabs = [points]
+    for _ in range(half - 1):
+        tabs.append(point_add(tabs[-1], points, ops))
+    return tabs
+
+
+def signed_window_sums(points, scalars, ops: FieldOps, c: int, L: int,
+                       pvary_axis: str | None = None):
+    """Per-lane window sums of the signed-dense MSM: the shard-local
+    stage. points leaves (rows, M, n) with L | n; scalars (16, M, n).
+    Returns point pytree with leaves (rows, W, M, L). pvary_axis marks
+    the identity carry device-varying when run under shard_map."""
+    first_leaf = jax.tree_util.tree_leaves(points)[0]
+    M, n = first_leaf.shape[1], first_leaf.shape[2]
+    is_g2 = isinstance(points[0], tuple)
+    half = 1 << (c - 1)
+    C = n // L
+
+    tabs = build_multiples(points, ops, half)
+
+    def rsh(x):  # (rows, M, n) -> (rows, M, C, L)
+        return x.reshape(x.shape[:-1] + (C, L))
+
+    tabs = [jax.tree_util.tree_map(rsh, t) for t in tabs]
+
+    d = signed_digits(scalars, c)  # (W, M, n)
+    W = d.shape[0]
+    digits = (
+        d.reshape(W, M, C, L).transpose(2, 0, 1, 3)
+    )  # (C, W, M, L) int32
+
+    ident_wml = point_identity_like(
+        jax.tree_util.tree_map(
+            lambda x: jnp.zeros(
+                (x.shape[0], W, M, L), dtype=x.dtype
+            ),
+            points,
+        )[0],
+        ops, is_g2,
+    )
+    if pvary_axis is not None:
+        try:
+            ident_wml = jax.tree_util.tree_map(
+                lambda x: jax.lax.pvary(x, pvary_axis), ident_wml
+            )
+        except AttributeError:  # older jax: vma tracking absent
+            pass
+
+    def step_body(step, acc):
+        dw = jax.lax.dynamic_index_in_dim(
+            digits, step, 0, keepdims=False
+        )  # (W, M, L)
+        chunk = [
+            jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, step, 2, keepdims=False
+                )[:, None],
+                t,
+            )
+            for t in tabs
+        ]  # leaves (rows, 1, M, L); broadcast over W in the selects
+        ad = jnp.abs(dw)[None]  # (1, W, M, L) vs leaves (rows, W, M, L)
+
+        sel = chunk[0]
+        for k in range(2, half + 1):
+            sel = _tree_where(ad == k, chunk[k - 1], sel)
+        X, Y, Z = sel
+        neg = (dw < 0)[None]
+        Yn = ops.sub(_tree_zeros(Y), Y)
+        sel = (X, _tree_where(neg, Yn, Y), Z)
+        added = point_add(acc, sel, ops)
+        return _tree_where((dw == 0)[None], acc, added)
+
+    return jax.lax.fori_loop(0, C, step_body, ident_wml)
+
+
+def msm_signed_dense(points, scalars, ops: FieldOps, c: int = 4,
+                     lanes: int = 128):
+    """M same-size MSMs, signed radix-2^c, scatter/gather-free.
+
+    points:  point pytree, leaves (rows, M, n) (projective Montgomery,
+             limb or RNS rows)
+    scalars: (16, M, n) uint32 plain-form 16-bit digits
+    returns point pytree with leaves (rows, M).
+
+    All ceil(254/c) windows accumulate simultaneously (windows are a
+    tensor axis; one point-add instantiation per chunk step); lanes
+    fold by recursive doubling; Horner combines windows with c
+    doublings each. Work: (W + 2^(c-1) - 1) * n point adds."""
+    first_leaf = jax.tree_util.tree_leaves(points)[0]
+    n = first_leaf.shape[2]
+    is_g2 = isinstance(points[0], tuple)
+
+    L = 1
+    while L * 2 <= min(lanes, n):
+        L *= 2
+    C = -(-n // L)
+    n_pad = C * L
+    if n_pad != n:
+        def padp(x):
+            return jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (n_pad - n,), dtype=x.dtype)],
+                axis=-1,
+            )
+
+        points = jax.tree_util.tree_map(padp, points)
+        scalars = padp(scalars)
+
+    acc = signed_window_sums(points, scalars, ops, c, L)
+    return _fold_and_horner(acc, ops, is_g2, L, window_bits=c)
 
 
 # -- packed bucket storage ----------------------------------------------------

@@ -77,11 +77,11 @@ class DeviceDomain:
         self.z_coset_inv = jnp.asarray(
             F.int_to_limbs(FR.to_mont_int(h.z_coset_inv))
         )
-        if self.fourstep is not None:
-            # plain g^-j (the four-step inverse already folds 1/n)
-            self.coset_inv_nofold = jnp.asarray(
-                _pow_table(h.coset_gen_inv, size)
-            )
+        # plain g^-j (the four-step and sharded inverses fold 1/n
+        # themselves)
+        self.coset_inv_nofold = jnp.asarray(
+            _pow_table(h.coset_gen_inv, size)
+        )
 
 
 def _ntt_core_unrolled(x, table, n: int):

@@ -1,9 +1,12 @@
 """Benchmark harness: Groth16 prover device compute on the attached chip.
 
-Measures the end-to-end device compute of one proof for a synthetic
-multiplier-chain circuit (BASELINE.md config 3/5 scaled by
-ZA_BENCH_LOG2N): QAP h(x) via coset NTT + the G1 a/b/l/h MSMs + the
-G2 b MSM, through the same TpuEngine the prover uses.
+Measures the device compute of one proof for a synthetic multiplier
+chain (BASELINE.md config 5 scaled by ZA_BENCH_LOG2N, default 2^13):
+QAP h(x) via coset NTT + the four G1 MSMs + the G2 MSM, through the
+same TpuEngine the prover uses (signed-dense RNS MSM on TPU), plus a
+host witness-generation datapoint (interpreter vs compiled wtrace
+replay) so every stage of the north-star prove path (SURVEY.md
+section 3.2) has a number.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -12,6 +15,9 @@ vs_baseline compares against single-core CPU bellman extrapolated at
 ~5000 constraints/s (the reference publishes no numbers -- BASELINE.md;
 this constant approximates bellman_ce's single-thread proving rate on a
 modern core and is recorded here for transparency).
+
+Env knobs: ZA_BENCH_LOG2N (ladder: 13 / 17 / 20), ZA_BENCH_LANES,
+ZA_BENCH_WITNESS=0 to skip the witness stage.
 """
 
 import json
@@ -20,15 +26,15 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-sys.setrecursionlimit(100_000)
+sys.setrecursionlimit(1_000_000)
 
 BELLMAN_SINGLE_CORE_CONSTRAINTS_PER_S = 5000.0
 
 
 def build_r1cs(log2n: int):
-    """Synthetic multiplier chain: n constraints t[i] = t[i-1] * t[i-1] + i,
-    built directly as R1CS (skips the circuit interpreter, which is not
-    what this benchmark measures)."""
+    """Synthetic multiplier chain: n constraints t[i] = t[i-1]*t[i-1]+i,
+    built directly as R1CS (the witness benchmark below exercises the
+    circuit interpreter separately)."""
     import random
 
     from za_tpu.curve import R
@@ -36,13 +42,11 @@ def build_r1cs(log2n: int):
 
     n = 1 << log2n
     rng = random.Random(99)
-    # variables: 0 = ONE, 1 = public input x, 2..n+1 = chain values
     a_rows, b_rows, c_rows = [], [], []
     z = [1, rng.randrange(1, R)]
     for i in range(n):
         prev = i + 1
         cur = i + 2
-        # t_cur = t_prev * t_prev + i  ->  t_prev * t_prev = t_cur - i
         a_rows.append([(prev, 1)])
         b_rows.append([(prev, 1)])
         c_rows.append([(cur, 1), (0, (-i) % R)])
@@ -58,6 +62,42 @@ def build_r1cs(log2n: int):
     )
     assert r1cs.is_satisfied(z)
     return r1cs, z
+
+
+def witness_bench(log2n: int) -> dict:
+    """Interpreter vs compiled-trace witness generation on a real
+    multiplier-chain circuit (closes the last unmeasured stage of the
+    prove path; helper.prove uses the replay automatically)."""
+    from za_tpu.algebra import FS, Value
+    from za_tpu.compiler import Evaluator, Mode
+    from za_tpu.compiler.evaluator import Scope
+    from za_tpu.compiler.wtrace import TraceRecorder
+
+    n = 1 << min(log2n, 15)  # interpreter at ~3k c/s: cap the cost
+    circuit = (
+        "template chain(N) {\n"
+        " signal input x;\n signal output out;\n signal t[N];\n"
+        " t[0] <== x * x;\n"
+        " for (var i=1;i<N;i+=1) { t[i] <== t[i-1] * t[i-1] + i; }\n"
+        " out <== t[N-1];\n}\ncomponent main = chain(%d);\n" % n
+    )
+
+    ev = Evaluator(Mode.GEN_WITNESS)
+    ev.wtrace = TraceRecorder()
+    ev.set_deferred_value("main.x", Value(FS(3)))
+    t0 = time.time()
+    ev.eval_inline(Scope(True, None, "root"), circuit)
+    interp_s = time.time() - t0
+    prog = ev.wtrace.finish(ev.signals)
+
+    t0 = time.time()
+    prog.run({"main.x": 3})
+    replay_s = time.time() - t0
+    return {
+        "witness_constraints": n,
+        "witness_interpret_c_per_s": int(n / interp_s),
+        "witness_replay_c_per_s": int(n / max(replay_s, 1e-9)),
+    }
 
 
 def main():
@@ -76,10 +116,18 @@ def main():
     print(f"# built r1cs n={n} domain={domain.size} in {time.time()-t0:.1f}s",
           file=sys.stderr)
 
+    wit = {}
+    if os.environ.get("ZA_BENCH_WITNESS", "1") != "0":
+        t0 = time.time()
+        wit = witness_bench(log2n)
+        print(f"# witness bench done in {time.time()-t0:.1f}s: {wit}",
+              file=sys.stderr, flush=True)
+
     # synthetic pk queries (random points; the kernels do identical work
     # regardless of the point values)
     import random
 
+    t0 = time.time()
     rng = random.Random(5)
 
     def g1s(k):
@@ -94,11 +142,11 @@ def main():
     m = domain.size
     a_q, b1_q, l_q, h_q = g1s(nv), g1s(nv), g1s(r1cs.num_aux), g1s(m - 1)
     b2_q = g2s(nv)
-    print(f"# host pk queries built at {time.time()-t0:.1f}s",
+    print(f"# host pk queries built in {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
     eng = TpuEngine(lanes=lanes)
-    print(f"# engine init (incl d2h warmup) at {time.time()-t0:.1f}s",
+    print(f"# engine init ok (msm_style={eng.msm_style})",
           file=sys.stderr, flush=True)
 
     def stage(name, f):
@@ -110,7 +158,6 @@ def main():
     # stage pk material and witness limbs once (device-resident, as a
     # deployed prover holds the pk; z limb conversion is host prep)
     import za_tpu.engine.field as F
-
     from za_tpu.engine.engine import _pad_pow2ish
 
     n_common = _pad_pow2ish(max(len(a_q), len(b1_q), len(l_q), len(h_q)))
@@ -126,24 +173,12 @@ def main():
     z_l = F.ints_to_limbs(z)
     zaux_l = F.ints_to_limbs(z[r1cs.num_inputs:])
 
-    if eng.use_grouped:
-        def prove_compute():
-            h = stage("h_coeffs",
-                      lambda: eng.h_coeffs_limbs(r1cs, z, domain))
-            pa, pb1, pl, ph = stage("msm_g1x4", lambda: eng.msm_g1_many(
-                [sa, sb1, sl, sh], [z_l, z_l, zaux_l, h]))
-            pb2 = stage("msm_b2",
-                        lambda: eng.msm_g2_many([sb2], [z_l])[0])
-            return pa, pb1, pl, ph, pb2
-    else:
-        def prove_compute():
-            h = stage("h_coeffs", lambda: eng.h_coeffs(r1cs, z, domain))
-            pa = stage("msm_a", lambda: eng.msm_g1(a_q, z))
-            pb1 = stage("msm_b1", lambda: eng.msm_g1(b1_q, z))
-            pl = stage("msm_l", lambda: eng.msm_g1(l_q, z[r1cs.num_inputs:]))
-            ph = stage("msm_h", lambda: eng.msm_g1(h_q, h))
-            pb2 = stage("msm_b2", lambda: eng.msm_g2(b2_q, z))
-            return pa, pb1, pl, ph, pb2
+    def prove_compute():
+        h = stage("h_coeffs", lambda: eng.h_coeffs_limbs(r1cs, z, domain))
+        pa, pb1, pl, ph = stage("msm_g1x4", lambda: eng.msm_g1_many(
+            [sa, sb1, sl, sh], [z_l, z_l, zaux_l, h]))
+        pb2 = stage("msm_b2", lambda: eng.msm_g2_many([sb2], [z_l])[0])
+        return pa, pb1, pl, ph, pb2
 
     t0 = time.time()
     prove_compute()  # compile + warm
@@ -154,12 +189,10 @@ def main():
     prove_compute()
     dt = time.time() - t0
 
-    # point-add work: 4 G1 MSMs of ~n points + 1 G2 MSM, windows = 254/c
-    import za_tpu.engine.msm as MSM
-
-    c = MSM.pick_window(nv)
-    windows = (254 + c - 1) // c
-    point_adds = windows * (3 * nv + (m - 1) + r1cs.num_aux)
+    # point-add work model of the signed radix-16 dense MSM:
+    # (ceil(254/4) windows + 7 table adds) per point
+    g1_points = 3 * nv + (m - 1) + r1cs.num_aux
+    point_adds = (64 + 7) * g1_points
     baseline_s = n / BELLMAN_SINGLE_CORE_CONSTRAINTS_PER_S
 
     result = {
@@ -170,9 +203,12 @@ def main():
         "detail": {
             "constraints": n,
             "domain": m,
+            "constraints_per_s": int(n / dt),
             "g1_point_adds_per_s": int(point_adds / dt),
             "warmup_s": round(warm, 1),
+            "msm_style": eng.msm_style,
             "baseline": "single-core bellman @5k constraints/s (est)",
+            **wit,
         },
     }
     print(json.dumps(result))

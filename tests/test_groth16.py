@@ -300,3 +300,23 @@ def test_solidity_verifier_contains_vk():
     x = params.vk.beta_g2[0]
     assert f"[{x.c1},{x.c0}]" in sol
     assert "uint[1] memory input" in sol
+
+
+def test_final_exponentiation_hard_part_chain():
+    """The BN addition-chain hard part equals the plain
+    (q^4-q^2+1)/r power on random Miller-loop outputs."""
+    import random
+
+    from za_tpu.curve import (
+        _hard_part_bn, _hard_part_naive, g1_mul, g2_mul, miller_loop,
+    )
+
+    rng = random.Random(8)
+    for _ in range(3):
+        f = miller_loop(
+            g2_mul(G2_GEN, rng.randrange(1, R)),
+            g1_mul(G1_GEN, rng.randrange(1, R)),
+        )
+        t = f.conj() * f.inv()
+        t = t.frob(2) * t
+        assert _hard_part_bn(t) == _hard_part_naive(t)

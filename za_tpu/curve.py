@@ -451,13 +451,44 @@ def miller_loop(q2: G2Point, p1: G1Point) -> Fq12:
 _HARD_EXP = (Q**4 - Q**2 + 1) // R
 
 
+def _hard_part_naive(t: Fq12) -> Fq12:
+    return t.pow(_HARD_EXP)
+
+
+def _hard_part_bn(t: Fq12) -> Fq12:
+    """Scott-Benger-Charlemagne-Dominguez-Kachisa addition chain for
+    the BN hard part (q^4-q^2+1)/r in terms of the curve parameter u:
+    3 u-exponentiations + ~15 Fq12 muls instead of a ~1020-bit plain
+    power. After the easy part t lies in the cyclotomic subgroup, so
+    inversion is conjugation (t^(q^6) = t^-1). Tested equal to the
+    plain power (tests/test_groth16.py)."""
+    fz = t.pow(BN_U)
+    fz2 = fz.pow(BN_U)
+    fz3 = fz2.pow(BN_U)
+    y0 = t.frob(1) * t.frob(2) * t.frob(3)
+    y1 = t.conj()
+    y2 = fz2.frob(2)
+    y3 = fz.frob(1).conj()
+    y4 = (fz2.frob(1) * fz).conj()
+    y5 = fz2.conj()
+    y6 = (fz3.frob(1) * fz3).conj()
+    t0 = y6.square() * y4 * y5
+    t1 = y3 * y5 * t0
+    t0 = t0 * y2
+    t1 = (t1.square() * t0).square()
+    t0 = t1 * y1
+    t1 = t1 * y0
+    t0 = t0.square()
+    return t0 * t1
+
+
 def final_exponentiation(f: Fq12) -> Fq12:
-    """f^((q^12-1)/r) via easy part (q^6-1)(q^2+1) then hard part."""
+    """f^((q^12-1)/r) via easy part (q^6-1)(q^2+1) then the BN
+    addition-chain hard part."""
     # easy part
     t = f.conj() * f.inv()          # f^(q^6 - 1)
     t = t.frob(2) * t               # ^(q^2 + 1)
-    # hard part (plain exponentiation; correct by construction)
-    return t.pow(_HARD_EXP)
+    return _hard_part_bn(t)
 
 
 def pairing(q2: G2Point, p1: G1Point) -> Fq12:

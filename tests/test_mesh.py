@@ -2,6 +2,7 @@
 
 import random
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -86,14 +87,16 @@ def test_sharded_signed_msm_g2(mesh):
     scs = [rng.randrange(R) for _ in range(n)]
     ops = EC.make_g2_ops_rns()
     fn = MESH.sharded_signed_msm_fn(mesh, ops, c=4, lanes=2, is_g2=True)
-    staged = EC.g2_points_to_rns(pts)
-    staged = jax.tree_util.tree_map(lambda x: np.asarray(x)[:, None, :], staged)
+    staged = EC.g2_points_to_rns(pts)  # flat-Fq2 leaves (35, 2, n)
+    staged = jax.tree_util.tree_map(
+        lambda x: jnp.expand_dims(jnp.asarray(x), -2), staged
+    )
     X, Y, Z = fn(staged, F.ints_to_limbs(scs)[:, None, :])
-
-    def c0(c):
-        return (np.asarray(c[0])[:, 0], np.asarray(c[1])[:, 0])
-
-    assert EC.g2_point_from_rns(c0(X), c0(Y), c0(Z)) == host.msm_g2(pts, scs)
+    got = EC.g2_point_from_rns(
+        np.asarray(X)[:, :, 0], np.asarray(Y)[:, :, 0],
+        np.asarray(Z)[:, :, 0],
+    )
+    assert got == host.msm_g2(pts, scs)
 
 
 @pytest.mark.slow

@@ -159,16 +159,15 @@ def test_g2_rns_complete_add_and_chain():
     P[0] = None
     Qp[1] = None
     Qp[2] = P[2]
-    A = EC.g2_points_to_rns(P)
+    A = EC.g2_points_to_rns(P)  # flat-Fq2 leaves (35, 2, 4)
     B = EC.g2_points_to_rns(Qp)
     pt = EC.point_add(A, B, ops)
 
     def from_j(pt, j):
         X, Y, Z = pt
         return EC.g2_point_from_rns(
-            (np.asarray(X[0])[:, j], np.asarray(X[1])[:, j]),
-            (np.asarray(Y[0])[:, j], np.asarray(Y[1])[:, j]),
-            (np.asarray(Z[0])[:, j], np.asarray(Z[1])[:, j]),
+            np.asarray(X)[:, :, j], np.asarray(Y)[:, :, j],
+            np.asarray(Z)[:, :, j],
         )
 
     exp = [g2_add(P[j], Qp[j]) for j in range(4)]
@@ -192,3 +191,94 @@ def test_point_identity_like_rns():
     ident = EC.point_identity_like(A[0][:, :1], ops, is_g2=False)
     S = EC.point_add(A, ident, ops)
     assert _g1_from(*S, 0) == P[0]
+
+
+@pytest.mark.compiled
+@pytest.mark.slow
+def test_rns_engine_prove_matches_host():
+    """TpuEngine(msm_style='rns'): the full RNS prover pipeline
+    (RNS matvec + RNS coset NTTs + exact CRT-out scalars + signed-dense
+    RNS MSMs) produces the host engine's deterministic proof."""
+    from za_tpu.algebra import FS, Value
+    from za_tpu.compiler import Evaluator, Mode
+    from za_tpu.compiler.evaluator import Scope
+    from za_tpu.engine.engine import TpuEngine
+    from za_tpu.groth16 import (
+        R1CS, generate_parameters, prove, verify_proof,
+    )
+    from za_tpu.groth16.domain import Domain
+    from za_tpu.groth16.prove import HostEngine
+
+    circuit = """
+    template chain(N) {
+        signal input x;
+        signal output out;
+        signal t[N];
+        t[0] <== x * x;
+        for (var i=1;i<N;i+=1) { t[i] <== t[i-1] * x + i; }
+        out <== t[N-1];
+    }
+    component main = chain(13);
+    """
+    ev = Evaluator(Mode.GEN_CONSTRAINTS)
+    ev.eval_inline(Scope(True, None, "root"), circuit)
+    r1cs = R1CS.from_constraints(ev.signals, ev.constraints, [])
+    evw = Evaluator(Mode.GEN_WITNESS)
+    evw.set_deferred_value("main.x", Value(FS(3)))
+    evw.eval_inline(Scope(True, None, "root"), circuit)
+    z = r1cs.assignment_from_signals(evw.signals)
+    params = generate_parameters(r1cs, tau=11, alpha=3, beta=5, gamma=7,
+                                 delta=9)
+    dom = Domain(params.domain_size)
+    host = HostEngine()
+    eng = TpuEngine(msm_style="rns", lanes=8)
+    assert eng.h_coeffs(r1cs, z, dom) == host.h_coeffs(r1cs, z, dom)
+    p1 = prove(params, r1cs, z, r=13, s=17, engine=eng)
+    p2 = prove(params, r1cs, z, r=13, s=17, engine=host)
+    assert (p1.a, p1.b, p1.c) == (p2.a, p2.b, p2.c)
+    assert verify_proof(params.vk, p1, z[1 : r1cs.num_inputs])
+
+
+def test_rns_to_limbs_exact():
+    """Device CRT-out: exact S-K conversion incl. the mod-r descent."""
+    vals = [0, 1, RR.m1 - 1, 2**255] + [
+        rng.randrange(RR.m1) for _ in range(8)
+    ]
+    import za_tpu.curve as C
+
+    out = np.asarray(RNS.rns_to_limbs_exact(RR.ints_to_rns(vals), RR,
+                                            nlimbs=18))
+    got = [sum(int(out[i, j]) << (16 * i) for i in range(18))
+           for j in range(len(vals))]
+    assert got == vals
+    vals2 = [0, C.R - 1, C.R, 8 * C.R - 1] + [
+        rng.randrange(8 * C.R) for _ in range(8)
+    ]
+    out2 = np.asarray(RNS.rns_to_limbs_exact(
+        RR.ints_to_rns(vals2), RR, nlimbs=16, reduce_mod=C.R))
+    got2 = [sum(int(out2[i, j]) << (16 * i) for i in range(16))
+            for j in range(len(vals2))]
+    assert got2 == [v % C.R for v in vals2]
+
+
+def test_rns_ntt_matches_host():
+    import za_tpu.engine.ntt_rns as NR
+    from za_tpu.curve import R as FR_MOD
+    from za_tpu.groth16.domain import Domain
+
+    m = 32
+    dom = Domain(m)
+    rd = NR.RnsDomain(m)
+    coeffs = [rng.randrange(FR_MOD) for _ in range(m)]
+    cm = RR.ints_to_rns([c * RR.m1 % FR_MOD for c in coeffs])
+
+    def demont(x):
+        vals = RR.rns_to_ints(np.asarray(x))
+        return [RR.from_mont_int(v) % FR_MOD for v in vals]
+
+    fwd = NR.ntt(rd, cm)
+    assert demont(fwd) == dom.ntt(coeffs)
+    assert demont(NR.intt(rd, fwd)) == coeffs
+    cf = NR.coset_ntt(rd, cm)
+    assert demont(cf) == dom.coset_ntt(coeffs)
+    assert demont(NR.coset_intt(rd, cf)) == coeffs

@@ -264,91 +264,83 @@ def make_g1_ops_rns(ctx=None) -> "FieldOps":
 
 
 def make_g2_ops_rns(ctx=None) -> "FieldOps":
-    """G2 over Fq2 pairs of RNS channel vectors (Karatsuba, all three
-    channel products fused into one stacked mont_mul)."""
+    """G2 over flat-Fq2 RNS arrays: a coordinate is ONE (35, 2, ...)
+    array with c0/c1 on axis 1, so a G2 point has the same 3-leaf
+    structure as G1 (the nested (c0, c1) pytree triggered an XLA:TPU
+    miscompile in fused select+add graphs; the flat layout also keeps
+    batches wider).
+
+    Fq2 product: schoolbook a0b0/a0b1/a1b0/a1b1 in one stacked
+    mont_mul; the C0 subtraction uses the 8N offset (t11 < 4N always)
+    so the component bounds stay stationary: mul out (c0, c1) <
+    (12N, 8N), coordinates < (44N, 40N), pre-mul sums < (68N, 56N) --
+    inside the 512N mont_mul contract. (Karatsuba would double the
+    input bounds for a 25% mul saving -- revisit if needed.)"""
     from . import rns as RNS
 
     if ctx is None:
         ctx = RNS.RQ
 
-    b3_rns = (
-        ctx.ints_to_rns([ctx.to_mont_int((3 * B2.c0) % Q)])[:, 0],
-        ctx.ints_to_rns([ctx.to_mont_int((3 * B2.c1) % Q)])[:, 0],
-    )
-
-    def fq2_add(a, b):
-        return (RNS.ch_add(a[0], b[0], ctx), RNS.ch_add(a[1], b[1], ctx))
-
-    def fq2_sub(a, b):
-        return (
-            RNS.ch_sub_off(a[0], b[0], ctx),
-            RNS.ch_sub_off(a[1], b[1], ctx),
-        )
+    b3_rns = np.stack(
+        [
+            ctx.ints_to_rns([ctx.to_mont_int((3 * B2.c0) % Q)])[:, 0],
+            ctx.ints_to_rns([ctx.to_mont_int((3 * B2.c1) % Q)])[:, 0],
+        ],
+        axis=1,
+    )  # (35, 2)
 
     def mul_many(pairs):
-        """(a0+a1 i)(b0+b1 i): per pair the products a0b0, a1b1,
-        a0b1, a1b0 -- schoolbook (4k channel products in one stacked
-        mul; Karatsuba's (a0+a1)(b0+b1) would double the input bounds
-        for a 25% mul saving -- revisit if the budget ever allows).
-
-        The C0 subtraction uses the 8N offset (t11 < 4N always) so the
-        component bounds stay stationary: mul out (c0, c1) < (12N, 8N),
-        coordinates < (44N, 40N), pre-mul sums < (68N, 56N) -- inside
-        the 512N mont_mul contract."""
         k = len(pairs)
-        A0 = jnp.stack([a[0] for a, _ in pairs], axis=1)
-        A1 = jnp.stack([a[1] for a, _ in pairs], axis=1)
-        B0 = jnp.stack([b[0] for _, b in pairs], axis=1)
-        B1 = jnp.stack([b[1] for _, b in pairs], axis=1)
-        A = jnp.concatenate([A0, A0, A1, A1], axis=1)
-        B = jnp.concatenate([B0, B1, B0, B1], axis=1)
+        A = jnp.stack(
+            [x for a, _ in pairs for x in (a[:, 0], a[:, 0], a[:, 1],
+                                           a[:, 1])],
+            axis=1,
+        )  # (35, 4k, ...)
+        B = jnp.stack(
+            [x for _, b in pairs for x in (b[:, 0], b[:, 1], b[:, 0],
+                                           b[:, 1])],
+            axis=1,
+        )
         P = RNS.mont_mul_rns(A, B, ctx)
-        t00 = P[:, :k]
-        t01 = P[:, k : 2 * k]
-        t10 = P[:, 2 * k : 3 * k]
-        t11 = P[:, 3 * k :]
-        C0 = RNS.ch_sub_off(t00, t11, ctx, off_vec=ctx.sub_off8)
-        C1 = RNS.ch_add(t01, t10, ctx)
-        return [(C0[:, i], C1[:, i]) for i in range(k)]
+        Pk = P.reshape((P.shape[0], k, 4) + P.shape[2:])
+        C0 = RNS.ch_sub_off(
+            Pk[:, :, 0], Pk[:, :, 3], ctx, off_vec=ctx.sub_off8
+        )
+        C1 = RNS.ch_add(Pk[:, :, 1], Pk[:, :, 2], ctx)
+        out = jnp.stack([C0, C1], axis=2)  # (35, k, 2, ...)
+        return [out[:, i] for i in range(k)]
 
     def fq2_mul(a, b):
         return mul_many([(a, b)])[0]
 
     def b3_mul(a):
-        c = (_bcast(b3_rns[0], a[0]), _bcast(b3_rns[1], a[1]))
-        return fq2_mul(a, c)
-
-    def _stack(pairs):
-        A = jnp.stack(
-            [a[0] for a, _ in pairs] + [a[1] for a, _ in pairs], axis=1
-        )
-        B = jnp.stack(
-            [b[0] for _, b in pairs] + [b[1] for _, b in pairs], axis=1
-        )
-        return A, B
-
-    def _unstack(S, k):
-        return [(S[:, i], S[:, k + i]) for i in range(k)]
-
-    def add_many(pairs):
-        A, B = _stack(pairs)
-        return _unstack(RNS.ch_add(A, B, ctx), len(pairs))
-
-    def sub_many(pairs):
-        A, B = _stack(pairs)
-        return _unstack(RNS.ch_sub_off(A, B, ctx), len(pairs))
+        return fq2_mul(a, _bcast(b3_rns, a))
 
     def b3_const(like):
-        return (
-            jnp.broadcast_to(_bcast(b3_rns[0], like[0]), like[0].shape),
-            jnp.broadcast_to(_bcast(b3_rns[1], like[1]), like[1].shape),
-        )
+        return jnp.broadcast_to(_bcast(b3_rns, like), like.shape)
 
-    zero = np.zeros(RNS.N_CH, dtype=np.uint32)
+    def add_many(pairs):
+        A = jnp.stack([a for a, _ in pairs], axis=1)
+        B = jnp.stack([b for _, b in pairs], axis=1)
+        S = RNS.ch_add(A, B, ctx)
+        return [S[:, i] for i in range(len(pairs))]
+
+    def sub_many(pairs):
+        A = jnp.stack([a for a, _ in pairs], axis=1)
+        B = jnp.stack([b for _, b in pairs], axis=1)
+        S = RNS.ch_sub_off(A, B, ctx)
+        return [S[:, i] for i in range(len(pairs))]
+
+    zero2 = np.zeros((RNS.N_CH, 2), dtype=np.uint32)
+    one2 = np.stack(
+        [ctx.one_rns, np.zeros(RNS.N_CH, dtype=np.uint32)], axis=1
+    )
     return FieldOps(
-        fq2_add, fq2_sub, fq2_mul, b3_mul,
-        zero=(zero, zero),
-        one=(ctx.one_rns, zero),
+        lambda a, b: RNS.ch_add(a, b, ctx),
+        lambda a, b: RNS.ch_sub_off(a, b, ctx),
+        fq2_mul, b3_mul,
+        zero=zero2,
+        one=one2,
         mul_many=mul_many,
         b3_const=b3_const,
         add_many=add_many,
@@ -390,6 +382,8 @@ def g1_points_to_rns(points, ctx=None) -> tuple:
 
 
 def g2_points_to_rns(points, ctx=None) -> tuple:
+    """list of affine G2 (or None) -> flat-Fq2 projective Montgomery
+    RNS arrays (X, Y, Z), each (35, 2, n)."""
     from . import rns as RNS
 
     ctx = ctx or RNS.RQ
@@ -400,10 +394,12 @@ def g2_points_to_rns(points, ctx=None) -> tuple:
     z0 = [0 if p is None else 1 for p in points]
     z1 = [0] * len(points)
 
-    def cv(v):
-        return _limbs_to_rns_mont(F.ints_to_limbs(v), ctx)
+    def cv(c0, c1):
+        both = _limbs_to_rns_mont(F.ints_to_limbs(c0 + c1), ctx)
+        n = len(c0)
+        return jnp.stack([both[:, :n], both[:, n:]], axis=1)
 
-    return ((cv(x0), cv(x1)), (cv(y0), cv(y1)), (cv(z0), cv(z1)))
+    return (cv(x0, x1), cv(y0, y1), cv(z0, z1))
 
 
 def g1_point_from_rns(X, Y, Z, ctx=None):
@@ -424,18 +420,21 @@ def g1_point_from_rns(X, Y, Z, ctx=None):
 
 
 def g2_point_from_rns(X, Y, Z, ctx=None):
+    """Single flat-Fq2 projective RNS point (leaves (35, 2) or
+    (35, 2, 1)) -> host affine pair or None."""
     from ..curve import Fq2
     from . import rns as RNS
 
     ctx = ctx or RNS.RQ
 
     def cv(c):
-        v = ctx.rns_to_ints(np.asarray(c).reshape(RNS.N_CH, -1)[:, :1])[0]
-        return ctx.from_mont_int(v) % Q
+        arr = np.asarray(c).reshape(RNS.N_CH, 2, -1)[:, :, 0]
+        v0, v1 = ctx.rns_to_ints(arr)
+        return Fq2(
+            ctx.from_mont_int(v0) % Q, ctx.from_mont_int(v1) % Q
+        )
 
-    x = Fq2(cv(X[0]), cv(X[1]))
-    y = Fq2(cv(Y[0]), cv(Y[1]))
-    z = Fq2(cv(Z[0]), cv(Z[1]))
+    x, y, z = cv(X), cv(Y), cv(Z)
     if z.is_zero():
         return None
     zinv = z.inv()
@@ -487,8 +486,12 @@ def point_double(p, ops: FieldOps):
 
 
 def point_identity_like(coord_like, ops: FieldOps, is_g2: bool):
-    """(0:1:0) broadcast to the batch shape of coord_like."""
-    if is_g2:
+    """(0:1:0) broadcast to the batch shape of coord_like.
+
+    The branch is representation-driven: limb-G2 coordinates are
+    (c0, c1) tuples; the RNS flat-Fq2 representation keeps c0/c1 on
+    array axis 1 and takes the plain path with (35, 2) constants."""
+    if is_g2 and isinstance(ops.zero, tuple):
         shape = coord_like[0].shape
 
         def c(l):

@@ -262,9 +262,10 @@ class TpuEngine:
             )
 
         def npoints(p):
-            if isinstance(p, tuple):  # staged limb arrays
-                leaf = p[0][0] if is_g2 else p[0]
-                return leaf.shape[-1]
+            if isinstance(p, tuple):  # staged device arrays
+                import jax.tree_util as jtu
+
+                return jtu.tree_leaves(p)[0].shape[-1]
             return len(p)
 
         n = _pad_pow2ish(max(npoints(p) for p in points_list))
@@ -285,7 +286,7 @@ class TpuEngine:
             devp.append(pts)
             devs.append(self._scalars_limbs(scs, n))
         points = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs, axis=1), *devp
+            lambda *xs: jnp.stack(xs, axis=-2), *devp
         )
         scalars = jnp.stack([jnp.asarray(s) for s in devs], axis=1)
         c, lanes = MSM.auto_params_grouped(n, M, is_g2=is_g2)
@@ -296,11 +297,10 @@ class TpuEngine:
         X, Y, Z = self._grouped_jit(kind, M, n, c, lanes)(points, scalars)
         if self.msm_style == "rns":
             if is_g2:
+                Xn, Yn, Zn = np.asarray(X), np.asarray(Y), np.asarray(Z)
                 return [
                     ec.g2_point_from_rns(
-                        (np.asarray(X[0])[:, i], np.asarray(X[1])[:, i]),
-                        (np.asarray(Y[0])[:, i], np.asarray(Y[1])[:, i]),
-                        (np.asarray(Z[0])[:, i], np.asarray(Z[1])[:, i]),
+                        Xn[:, :, i], Yn[:, :, i], Zn[:, :, i]
                     )
                     for i in range(M)
                 ]
@@ -577,10 +577,176 @@ class TpuEngine:
         )
         return h[:, : m - 1]
 
+    # -- RNS h(x) pipeline (single-chip TPU default) --------------------------
+
+    def _rns_domain(self, size: int):
+        from . import ntt_rns as NR
+
+        key = ("rns_dom", size)
+        dom = self._jit_cache.get(key)
+        if dom is None:
+            dom = NR.RnsDomain(size)
+            self._jit_cache[key] = dom
+        return dom
+
+    def _r1cs_entries_rns(self, r1cs: R1CS):
+        """Sparse triples with Montgomery-RNS coefficients (cached)."""
+        from . import rns as RNS
+
+        ent = getattr(r1cs, "_dev_entries_rns", None)
+        if ent is None:
+            from ..curve import R as FR_MOD
+
+            def pack(rows):
+                coeffs, cols, rowids = [], [], []
+                for k, row in enumerate(rows):
+                    assert len(row) <= (1 << 16), (
+                        "constraint row too long for u32 channel sums"
+                    )
+                    for var, coeff in row:
+                        coeffs.append(coeff * RNS.RR.m1 % FR_MOD)
+                        cols.append(var)
+                        rowids.append(k)
+                if not coeffs:
+                    coeffs, cols, rowids = [0], [0], [0]
+                nnz = _pad_pow2ish(len(coeffs))
+                pad = nnz - len(coeffs)
+                return (
+                    jnp.asarray(RNS.RR.ints_to_rns(coeffs + [0] * pad)),
+                    jnp.asarray(np.array(cols + [0] * pad, dtype=np.int32)),
+                    jnp.asarray(np.array(rowids + [0] * pad, dtype=np.int32)),
+                )
+
+            ent = tuple(pack(r) for r in (r1cs.a_rows, r1cs.b_rows,
+                                          r1cs.c_rows))
+            r1cs._dev_entries_rns = ent
+        return ent
+
+    def _matvec_rns_jit(self, m: int, nnz: int):
+        """RNS sparse matvec: channel products, u32 segment sums (row
+        length <= 2^16 guaranteed above), channel fold, then one
+        const-mul by rep(M1 mod r) to reset the integer bound to < 4N
+        while preserving the Montgomery form."""
+        from . import rns as RNS
+
+        key = ("mv_rns", m, nnz)
+        if key not in self._jit_cache:
+            ctx = RNS.RR
+            m1rep = ctx.ints_to_rns([ctx.m1 % ctx.modulus])[:, 0]
+
+            def run(z_rns, coeffs, colidx, rowidx):
+                prod = RNS.mont_mul_rns(coeffs, z_rns[:, colidx], ctx)
+                sums = jax.ops.segment_sum(
+                    prod.T, rowidx, num_segments=m
+                ).T  # (35, m) u32 channel sums
+                p = ctx.p[:, None]
+                canon = RNS._fold3(sums, ctx.eps[:, None], p)
+                # full RNS Montgomery mul by rep(M1 mod r): divides by
+                # M1, so the represented integer (< nnz_row * 4N after
+                # the sum) resets to < 4N while the Montgomery form is
+                # preserved (a channel mul would NOT reduce mod r)
+                return RNS.mont_mul_rns(canon, RNS._b(m1rep, canon), ctx)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _rns_piece(self, name: str):
+        from . import rns as RNS
+
+        ctx = RNS.RR
+        fn = self._jit_cache.get(("rns_piece", name))
+        if fn is None:
+            if name == "mv_finish":  # matvec output + base evals
+                def fn_(mv, base):
+                    return RNS.ch_add(mv, base, ctx)
+            elif name == "h_combine":  # (A*B - C) / Z on the coset
+                m1rep = ctx.ints_to_rns([ctx.m1 % ctx.modulus])[:, 0]
+
+                def fn_(a_c, b_c, c_c, zi):
+                    ab = RNS.mont_mul_rns(a_c, b_c, ctx)  # < 4N
+                    # bound-reset mul (NTT outputs reach ~164N; the 8N
+                    # sub offset needs the subtrahend < 8N)
+                    c_red = RNS.mont_mul_rns(
+                        c_c, RNS._b(m1rep, c_c), ctx
+                    )
+                    hc = RNS.ch_sub_off(
+                        ab, c_red, ctx, off_vec=ctx.sub_off8
+                    )
+                    return RNS.mont_mul_rns(
+                        hc, jnp.broadcast_to(zi, hc.shape), ctx
+                    )
+            elif name == "to_scalars":  # Mont RNS -> plain u16 limbs
+                def fn_(x):
+                    plain = RNS.from_mont_rns(x, ctx)  # < 4N plain
+                    return RNS.rns_to_limbs_exact(
+                        plain, ctx, nlimbs=16, reduce_mod=ctx.modulus
+                    )
+            else:  # pragma: no cover
+                raise KeyError(name)
+            fn = jax.jit(fn_)
+            self._jit_cache[("rns_piece", name)] = fn
+        return fn
+
+    def _h_coeffs_limbs_rns(self, r1cs: R1CS, z: list[int],
+                            domain: Domain) -> np.ndarray:
+        """h(x) entirely in Montgomery RNS: matvec -> iNTT -> coset NTT
+        -> combine -> coset iNTT -> exact CRT out to scalar limbs."""
+        from . import ntt_rns as NR, rns as RNS
+
+        ctx = RNS.RR
+        m = domain.size
+        ent = self._r1cs_entries_rns(r1cs)
+        dom = self._rns_domain(m)
+
+        z_limbs = F.ints_to_limbs([v % R for v in z])
+        z_rns = self._rns_piece_to_mont()(jnp.asarray(z_limbs))
+
+        # input-preservation rows: az[n+i] = z_i (bellman layout)
+        n = r1cs.num_constraints
+        az0 = np.zeros((RNS.N_CH, m), dtype=np.uint32)
+        az0[:, n : n + r1cs.num_inputs] = np.asarray(z_rns)[
+            :, : r1cs.num_inputs
+        ]
+        zero0 = jnp.zeros((RNS.N_CH, m), dtype=jnp.uint32)
+        finish = self._rns_piece("mv_finish")
+
+        def leg(e, base):
+            mv = self._matvec_rns_jit(m, e[1].shape[0])(z_rns, *e)
+            evals = finish(mv, base)
+            return NR.coset_ntt_steps(dom, NR.intt_steps(dom, evals))
+
+        a_c = leg(ent[0], jnp.asarray(az0))
+        b_c = leg(ent[1], zero0)
+        c_c = leg(ent[2], zero0)
+        hc = self._rns_piece("h_combine")(
+            a_c, b_c, c_c, dom.z_coset_inv
+        )
+        h_rns = NR.coset_intt_steps(dom, hc)
+        h = np.asarray(self._rns_piece("to_scalars")(h_rns))
+        assert not h[:, m - 1].any(), (
+            "h(x) degree overflow: witness unsatisfied?"
+        )
+        return h[:, : m - 1]
+
+    def _rns_piece_to_mont(self):
+        from . import rns as RNS
+
+        fn = self._jit_cache.get(("rns_piece", "to_mont"))
+        if fn is None:
+            fn = jax.jit(
+                lambda limbs: RNS.to_mont_rns(
+                    RNS.limbs_to_rns(limbs, RNS.RR), RNS.RR
+                )
+            )
+            self._jit_cache[("rns_piece", "to_mont")] = fn
+        return fn
+
     def h_coeffs_limbs(self, r1cs: R1CS, z: list[int],
                        domain: Domain) -> np.ndarray:
         """h_0..h_{m-2} as a plain-form (16, m-1) limb array -- feeds
         msm_g1_many directly without a host int round-trip."""
+        if self.mesh is None and self.msm_style == "rns":
+            return self._h_coeffs_limbs_rns(r1cs, z, domain)
         if self.mesh is not None and domain.size >= self._mesh_d ** 2:
             # the four-step sharded NTT needs D^2 | m; tiny domains
             # stay single-device

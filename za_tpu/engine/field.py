@@ -218,10 +218,11 @@ def const_limbs(np_limbs, shape):
 
 
 def _bshape(modl, x):
-    """Broadcast a (rows,) constant vector against (rows, ...) x
-    (16 limbs, or 35 RNS channels -- see za_tpu.engine.rns)."""
-    extra = x.ndim - 1
-    shape = (np.asarray(modl).shape[0],) + (1,) * extra
+    """Broadcast a constant vector against x along the LEADING axes:
+    (16,) limbs, (35,) RNS channels, or (35, 2) flat-Fq2 constants."""
+    m = np.asarray(modl)
+    extra = x.ndim - m.ndim
+    shape = m.shape + (1,) * extra
     if isinstance(modl, np.ndarray):
         if _KERNEL_CONST_MODE:
             return const_limbs(modl, shape)

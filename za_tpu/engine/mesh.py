@@ -203,9 +203,9 @@ def sharded_signed_msm_fn(mesh: Mesh, ops, c: int = 4, lanes: int = 8,
                           is_g2: bool = False):
     """Jitted sharded signed-dense MSM. points leaves (rows, M, n) and
     scalars (16, M, n) sharded on n; n/D must be a multiple of lanes."""
-    if is_g2:
-        pt_spec = ((P(None, None, AXIS),) * 2,) * 3
-        out_spec = ((P(AXIS, None, None),) * 2,) * 3
+    if is_g2:  # flat-Fq2 leaves (35, 2, M, n)
+        pt_spec = (P(None, None, None, AXIS),) * 3
+        out_spec = (P(AXIS, None, None, None),) * 3
     else:
         pt_spec = (P(None, None, AXIS),) * 3
         out_spec = (P(AXIS, None, None),) * 3

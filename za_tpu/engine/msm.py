@@ -700,8 +700,8 @@ def horner_windows(wsum, ops: FieldOps, is_g2: bool, window_bits: int,
     """Combine per-window sums (leaves (rows, W, M)) MSB-first with
     window_bits doublings per step; returns leaves (rows, M)."""
     per_w = jax.tree_util.tree_map(
-        lambda x: jnp.moveaxis(x, 1, 0)[::-1], wsum
-    )  # leaves (W, rows, M)
+        lambda x: jnp.moveaxis(x, -2, 0)[::-1], wsum
+    )  # leaves (W, .., M)
 
     def horner(carry, s_w):
         shifted = jax.lax.fori_loop(
@@ -813,14 +813,14 @@ def signed_window_sums(points, scalars, ops: FieldOps, c: int, L: int,
     Returns point pytree with leaves (rows, W, M, L). pvary_axis marks
     the identity carry device-varying when run under shard_map."""
     first_leaf = jax.tree_util.tree_leaves(points)[0]
-    M, n = first_leaf.shape[1], first_leaf.shape[2]
+    M, n = first_leaf.shape[-2], first_leaf.shape[-1]
     is_g2 = isinstance(points[0], tuple)
     half = 1 << (c - 1)
     C = n // L
 
     tabs = build_multiples(points, ops, half)
 
-    def rsh(x):  # (rows, M, n) -> (rows, M, C, L)
+    def rsh(x):  # (.., M, n) -> (.., M, C, L)
         return x.reshape(x.shape[:-1] + (C, L))
 
     tabs = [jax.tree_util.tree_map(rsh, t) for t in tabs]
@@ -834,7 +834,7 @@ def signed_window_sums(points, scalars, ops: FieldOps, c: int, L: int,
     ident_wml = point_identity_like(
         jax.tree_util.tree_map(
             lambda x: jnp.zeros(
-                (x.shape[0], W, M, L), dtype=x.dtype
+                x.shape[:-2] + (W, M, L), dtype=x.dtype
             ),
             points,
         )[0],
@@ -854,24 +854,27 @@ def signed_window_sums(points, scalars, ops: FieldOps, c: int, L: int,
         )  # (W, M, L)
         chunk = [
             jax.tree_util.tree_map(
-                lambda x: jax.lax.dynamic_index_in_dim(
-                    x, step, 2, keepdims=False
-                )[:, None],
+                lambda x: jnp.expand_dims(
+                    jax.lax.dynamic_index_in_dim(
+                        x, step, x.ndim - 2, keepdims=False
+                    ),
+                    -3,
+                ),
                 t,
             )
             for t in tabs
-        ]  # leaves (rows, 1, M, L); broadcast over W in the selects
-        ad = jnp.abs(dw)[None]  # (1, W, M, L) vs leaves (rows, W, M, L)
+        ]  # leaves (.., 1, M, L); broadcast over W in the selects
+        ad = jnp.abs(dw)  # (W, M, L), right-aligned broadcast
 
         sel = chunk[0]
         for k in range(2, half + 1):
             sel = _tree_where(ad == k, chunk[k - 1], sel)
         X, Y, Z = sel
-        neg = (dw < 0)[None]
+        neg = dw < 0
         Yn = ops.sub(_tree_zeros(Y), Y)
         sel = (X, _tree_where(neg, Yn, Y), Z)
         added = point_add(acc, sel, ops)
-        return _tree_where((dw == 0)[None], acc, added)
+        return _tree_where(dw == 0, acc, added)
 
     return jax.lax.fori_loop(0, C, step_body, ident_wml)
 
@@ -890,7 +893,7 @@ def msm_signed_dense(points, scalars, ops: FieldOps, c: int = 4,
     fold by recursive doubling; Horner combines windows with c
     doublings each. Work: (W + 2^(c-1) - 1) * n point adds."""
     first_leaf = jax.tree_util.tree_leaves(points)[0]
-    n = first_leaf.shape[2]
+    n = first_leaf.shape[-1]
     is_g2 = isinstance(points[0], tuple)
 
     L = 1

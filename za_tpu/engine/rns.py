@@ -462,3 +462,96 @@ def limbs_to_rns(limbs, ctx: RnsContext):
         limbs, jnp.asarray(ctx.l2r_w0), jnp.asarray(ctx.l2r_w1),
         ctx.l2r_k, ctx.red_off["l2r"], ctx.p, ctx.eps,
     )
+
+
+def _r2l_consts(ctx: RnsContext):
+    """(M1/p_i) and M1 as u8-limb rows for the exact CRT-out sum.
+    Width covers S = sum lam_i*(M1/p_i) < 17*M1 (4 extra bytes)."""
+    nbytes = (ctx.m1.bit_length() + 7) // 8 + 4
+    nbytes = -(-nbytes // 2) * 2  # even, so u16 limb count is exact
+    consts = np.array(
+        [list((ctx.m1 // p).to_bytes(nbytes, "little")) for p in ctx.b1],
+        dtype=np.uint32,
+    )  # (17, nbytes)
+    m1_bytes = np.array(
+        list(ctx.m1.to_bytes(nbytes, "little")), dtype=np.uint32
+    )
+    w1 = np.array(
+        [pow(ctx.m1 // p, -1, p) for p in ctx.b1], dtype=np.uint32
+    )
+    # S-K alpha over the redundant channel
+    m1p_r = np.array(
+        [(ctx.m1 // p) % ctx.pr for p in ctx.b1], dtype=np.uint32
+    )
+    m1inv_r = int(pow(ctx.m1, -1, ctx.pr))
+    return consts, m1_bytes, w1, m1p_r, m1inv_r, nbytes
+
+
+def _byte_fold(cols):
+    """u32 byte columns (< 2^28.3) -> byte digits <= 275 (exact):
+    three local carry folds at byte granularity."""
+    def up(x):
+        pad = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)[:-1]
+
+    for _ in range(3):
+        cols = (cols & 0xFF) + up(cols >> 8)
+    return cols
+
+
+def rns_to_limbs_exact(x, ctx: RnsContext, nlimbs: int = 16,
+                       reduce_mod: int | None = None):
+    """(35, ...) plain canonical residues (integer X < M1) ->
+    (nlimbs, ...) u16-limb integers, EXACT on device: Shenoy-Kumaresan
+    alpha from the redundant channel pins the CRT multiple, then
+    X = sum lambda_i*(M1/p_i) - alpha*M1 accumulates in u8-limb
+    columns. reduce_mod=N reduces X (must be < 8N) into [0, N) by a
+    4N/2N/N conditional-subtract descent -- the path that converts
+    device h(x) coefficients into MSM scalar limbs."""
+    import za_tpu.engine.field as F  # noqa: PLC0415 -- cycle-free
+
+    cache = getattr(ctx, "_r2l_cache", None)
+    if cache is None:
+        cache = _r2l_consts(ctx)
+        ctx._r2l_cache = cache
+    consts, m1_bytes, w1, m1p_r, m1inv_r, nbytes = cache
+
+    lam = ch_mul_const(x[B1], w1, ctx, B1)  # (17, ...)
+
+    # exact alpha: (S_r - x_r) * M1^-1 mod p_r
+    pr_p = np.uint32(ctx.pr)
+    eps_r = np.uint32((1 << 16) - ctx.pr)
+    s_r = jnp.zeros_like(lam[0])
+    for i in range(K_BASE):
+        s_r = _fold3(s_r + lam[i] * np.uint32(m1p_r[i]), eps_r, pr_p)
+    d_r = s_r + pr_p - x[PR]
+    d_r = jnp.where(d_r >= pr_p, d_r - pr_p, d_r)
+    alpha = _fold3(d_r * np.uint32(m1inv_r), eps_r, pr_p)  # < 17 (S-K)
+
+    # S byte columns: sum_i lam_i * bytes(M1/p_i): products < 2^24,
+    # 17 terms -> < 2^28.1 per column (u32-exact)
+    bshape = (nbytes,) + (1,) * (x.ndim - 1)
+    s_cols = None
+    for i in range(K_BASE):
+        term = lam[i][None] * jnp.asarray(consts[i]).reshape(bshape)
+        s_cols = term if s_cols is None else s_cols + term
+    a_cols = alpha[None] * jnp.asarray(m1_bytes).reshape(bshape)
+
+    def to_u16(cols):
+        b = _byte_fold(cols)  # bytes <= 275
+        w16 = b[0::2] + (b[1::2] << 8)  # < 2^17: exact in carry_prop
+        return F.carry_prop(w16)
+
+    X, _ = F.sub_borrow(to_u16(s_cols), to_u16(a_cols))
+    # the borrow is 0 by S-K exactness (X = S - alpha*M1 >= 0)
+
+    if reduce_mod is not None:
+        L = X.shape[0]
+        for mult in (4, 2, 1):  # X < 8N -> [0, N)
+            cvec = np.zeros(L, dtype=np.uint32)
+            limbs = F.int_to_limbs(mult * reduce_mod)
+            cvec[: len(limbs)] = limbs
+            cb = jnp.asarray(cvec).reshape((L,) + (1,) * (X.ndim - 1))
+            d, br = F.sub_borrow(X, jnp.broadcast_to(cb, X.shape))
+            X = jnp.where(br == 0, d, X)
+    return X[:nlimbs]

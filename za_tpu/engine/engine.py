@@ -468,12 +468,47 @@ class TpuEngine:
         reference's satisfies_with_signals, constraint.rs:29-67, which
         is a host-side Python loop in the golden model)."""
         n = max(r1cs.num_constraints, 1)
+        if self.mesh is None and self.msm_style == "rns":
+            return self._r1cs_satisfied_rns(r1cs, z, n)
         a_ent, b_ent, c_ent = self._r1cs_entries(r1cs)
         z_mont = _to_mont_fr(F.ints_to_limbs([v % R for v in z]))
         az = self._matvec_jit(n, a_ent[1].shape[0])(z_mont, *a_ent)
         bz = self._matvec_jit(n, b_ent[1].shape[0])(z_mont, *b_ent)
         cz = self._matvec_jit(n, c_ent[1].shape[0])(z_mont, *c_ent)
         return bool(self._piece("sat_check")(az, bz, cz))
+
+    def _r1cs_satisfied_rns(self, r1cs: R1CS, z: list[int], n: int) -> bool:
+        """Sat check on the RNS matvec: (Az*Bz - Cz) reduced to
+        canonical limbs must be zero everywhere."""
+        from . import rns as RNS
+
+        ctx = RNS.RR
+        ent = self._r1cs_entries_rns(r1cs)
+        z_rns = self._rns_piece_to_mont()(
+            jnp.asarray(F.ints_to_limbs([v % R for v in z]))
+        )
+        legs = [
+            self._matvec_rns_jit(n, e[1].shape[0])(z_rns, *e)
+            for e in ent
+        ]
+        fn = self._jit_cache.get(("rns_piece", "sat"))
+        if fn is None:
+            m1rep = ctx.ints_to_rns([ctx.m1 % ctx.modulus])[:, 0]
+
+            def fn_(az, bz, cz):
+                lhs = RNS.mont_mul_rns(az, bz, ctx)          # (azbz)~
+                rhs = RNS.mont_mul_rns(cz, RNS._b(m1rep, cz), ctx)
+                d = RNS.ch_sub_off(lhs, rhs, ctx,
+                                   off_vec=ctx.sub_off8)     # < 12N
+                plain = RNS.from_mont_rns(d, ctx)            # < 4N
+                limbs = RNS.rns_to_limbs_exact(
+                    plain, ctx, nlimbs=16, reduce_mod=ctx.modulus
+                )
+                return jnp.all(limbs == 0)
+
+            fn = jax.jit(fn_)
+            self._jit_cache[("rns_piece", "sat")] = fn
+        return bool(fn(*legs))
 
     @staticmethod
     def _pack_rows_sharded(rows, m: int, D: int):

@@ -192,9 +192,16 @@ class TpuEngine:
             return ec.g2_points_to_rns(points)
         return ec.g2_points_to_device(points)
 
-    def _scalars_limbs(self, scalars, n: int) -> np.ndarray:
-        """list[int] or plain-form (16, k) limb array -> (16, n) padded."""
-        if isinstance(scalars, (np.ndarray, jnp.ndarray)):
+    def _scalars_limbs(self, scalars, n: int):
+        """list[int] or plain-form (16, k) limb array -> (16, n) padded
+        (device arrays stay on device -- the h scalars feed the MSM
+        without a host round trip)."""
+        if isinstance(scalars, jnp.ndarray):
+            k = scalars.shape[1]
+            if k < n:
+                scalars = jnp.pad(scalars, ((0, 0), (0, n - k)))
+            return scalars
+        if isinstance(scalars, np.ndarray):
             arr = np.asarray(scalars, dtype=np.uint32)
             k = arr.shape[1]
             if k < n:
@@ -606,8 +613,7 @@ class TpuEngine:
         hc = self._piece("h_combine")(a_c, b_c, c_c, dom.z_coset_inv)
         h = tools["intt"](hc)
         h = self._piece("from_mont")(scale(h, dom.coset_inv_nofold))
-        h = np.asarray(h)
-        assert not h[:, m - 1].any(), (
+        assert not np.asarray(h[:, m - 1 :]).any(), (
             "h(x) degree overflow: witness unsatisfied?"
         )
         return h[:, : m - 1]
@@ -757,11 +763,11 @@ class TpuEngine:
             a_c, b_c, c_c, dom.z_coset_inv
         )
         h_rns = NR.coset_intt_steps(dom, hc)
-        h = np.asarray(self._rns_piece("to_scalars")(h_rns))
-        assert not h[:, m - 1].any(), (
+        h = self._rns_piece("to_scalars")(h_rns)
+        assert not np.asarray(h[:, m - 1 :]).any(), (
             "h(x) degree overflow: witness unsatisfied?"
         )
-        return h[:, : m - 1]
+        return h[:, : m - 1]  # device-resident: feeds the MSM directly
 
     def _rns_piece_to_mont(self):
         from . import rns as RNS
@@ -816,8 +822,7 @@ class TpuEngine:
         c_c = leg(c_ent, zero0)
         hc = self._piece("h_combine")(a_c, b_c, c_c, dom.z_coset_inv)
         h = self._piece("from_mont")(NTT.coset_intt_steps(dom, hc))
-        h = np.asarray(h)
-        assert not h[:, m - 1].any(), (
+        assert not np.asarray(h[:, m - 1 :]).any(), (
             "h(x) degree overflow: witness unsatisfied?"
         )
         return h[:, : m - 1]

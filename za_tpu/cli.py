@@ -8,6 +8,7 @@ only through bindings) and ``--engine`` selection for the TPU backend.
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 import sys
 import time
@@ -142,8 +143,11 @@ def main(argv=None):
     p.add_argument("--verifier", default=None)
     p.add_argument("--verifiertype", default="solidity", choices=["solidity", "json"])
     p.add_argument("--engine", default="host", choices=["host", "tpu"])
-    p.add_argument("--mesh", type=int, default=0, metavar="N",
-                   help="shard MSM/NTT/matvec over N devices (TPU engine)")
+    p.add_argument("--mesh", type=int, metavar="N",
+                   default=int(os.environ.get("ZA_MESH", "0")),
+                   help="shard MSM/NTT/matvec over N devices (TPU "
+                   "engine; default $ZA_MESH; multi-host pods need "
+                   "jax.distributed.initialize before invocation)")
     p.set_defaults(fn=cmd_setup)
 
     p = sub.add_parser("prove", help="Generate a proof")
@@ -151,8 +155,10 @@ def main(argv=None):
     p.add_argument("--input", default=DEFAULT_INPUT)
     p.add_argument("--proof", default=DEFAULT_PROOF)
     p.add_argument("--engine", default="host", choices=["host", "tpu"])
-    p.add_argument("--mesh", type=int, default=0, metavar="N",
-                   help="shard MSM/NTT/matvec over N devices (TPU engine)")
+    p.add_argument("--mesh", type=int, metavar="N",
+                   default=int(os.environ.get("ZA_MESH", "0")),
+                   help="shard MSM/NTT/matvec over N devices (TPU "
+                   "engine; default $ZA_MESH)")
     p.set_defaults(fn=cmd_prove)
 
     p = sub.add_parser("test", help="Run embedded circuit tests")

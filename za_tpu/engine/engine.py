@@ -232,10 +232,14 @@ class TpuEngine:
                     )
                     return self._jit_cache[key]
 
+                # lanes capped at 128: L=256 graphs re-trigger the
+                # XLA:TPU miscompile family seen with nested-tuple G2
+                # (bench shows corrupted residues at lanes=256; 128 is
+                # verified against the host golden model)
                 def run(points, scalars):
                     return MSM.msm_signed_dense(
                         points, scalars, ops,
-                        c=4, lanes=self.lanes or 128,
+                        c=4, lanes=min(self.lanes or 128, 128),
                     )
 
                 self._jit_cache[key] = jax.jit(run)

@@ -265,6 +265,22 @@ class TpuEngine:
     def _msm_many(self, kind: str, points_list, scalars_list):
         is_g2 = kind == "g2"
         M = len(points_list)
+        # tiny MSMs: exact host arithmetic (device offload buys nothing
+        # below ~512 points, and small-shape graphs are where the
+        # tunneled TPU backend's miscompile family lives -- see
+        # docs/PERF.md / memory notes). Only when inputs are host lists.
+        if (
+            self.mesh is None
+            and all(isinstance(p, list) for p in points_list)
+            and all(isinstance(s, list) for s in scalars_list)
+            and max(len(p) for p in points_list) < 512
+            and jax.default_backend() == "tpu"
+        ):
+            from ..groth16.prove import HostEngine
+
+            host = HostEngine()
+            f = host.msm_g2 if is_g2 else host.msm_g1
+            return [f(p, s) for p, s in zip(points_list, scalars_list)]
         if self.msm_style == "rns":
             stage = ec.g2_points_to_rns if is_g2 else ec.g1_points_to_rns
         else:

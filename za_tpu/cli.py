@@ -24,6 +24,19 @@ DEFAULT_VERIFIER_SOLIDITY = "verifier.sol"
 DEFAULT_VERIFIER_JSON = "verifier.json"
 
 
+def _mesh_default() -> int:
+    """$ZA_MESH parsed defensively: the default is evaluated at parser
+    build time, so a malformed value must not crash unrelated
+    subcommands with a traceback."""
+    raw = os.environ.get("ZA_MESH", "0")
+    try:
+        return int(raw)
+    except ValueError:
+        print(f"warning: ignoring non-integer ZA_MESH={raw!r}",
+              file=sys.stderr)
+        return 0
+
+
 def _engine(name: str, mesh: int = 0):
     if name == "host":
         if mesh:
@@ -144,7 +157,7 @@ def main(argv=None):
     p.add_argument("--verifiertype", default="solidity", choices=["solidity", "json"])
     p.add_argument("--engine", default="host", choices=["host", "tpu"])
     p.add_argument("--mesh", type=int, metavar="N",
-                   default=int(os.environ.get("ZA_MESH", "0")),
+                   default=_mesh_default(),
                    help="shard MSM/NTT/matvec over N devices (TPU "
                    "engine; default $ZA_MESH; multi-host pods need "
                    "jax.distributed.initialize before invocation)")
@@ -156,7 +169,7 @@ def main(argv=None):
     p.add_argument("--proof", default=DEFAULT_PROOF)
     p.add_argument("--engine", default="host", choices=["host", "tpu"])
     p.add_argument("--mesh", type=int, metavar="N",
-                   default=int(os.environ.get("ZA_MESH", "0")),
+                   default=_mesh_default(),
                    help="shard MSM/NTT/matvec over N devices (TPU "
                    "engine; default $ZA_MESH)")
     p.set_defaults(fn=cmd_prove)

@@ -105,6 +105,12 @@ class TpuEngine:
             self._mesh_d = mesh_devices
             if msm_style is None:
                 msm_style = "rns"
+            elif msm_style != "rns":
+                raise ValueError(
+                    "mesh_devices>1 requires msm_style='rns': only the "
+                    "RNS MSM has a sharded path (other styles would "
+                    "silently run single-device MSMs)"
+                )
         if reduce_style is None:
             reduce_style = "hybrid" if jax.default_backend() == "tpu" else "scan"
         self.reduce_style = reduce_style
@@ -192,6 +198,44 @@ class TpuEngine:
             return ec.g2_points_to_rns(points)
         return ec.g2_points_to_device(points)
 
+    def stage_params(self, params, r1cs):
+        """Stage the pk query vectors (a / b_g1 / l / h / b_g2) onto the
+        device ONCE per process, cached on the params object: repeat
+        proves against the same pk skip every host->device conversion
+        (the reference reloads the pk per prove, helper.rs:92-98; a
+        deployed prover holds it in HBM).
+
+        The four G1 queries are padded to one power-of-two length so
+        they share a single compiled grouped-MSM kernel."""
+        key = (self.msm_style, self._mesh_d)
+        cached = getattr(params, "_staged_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        from ..groth16.setup import expand_queries
+
+        params = expand_queries(params, r1cs)
+        n_common = _pad_pow2ish(
+            max(len(params.a), len(params.b_g1), len(params.l),
+                len(params.h))
+        )
+
+        def padded(q):
+            return list(q) + [None] * (n_common - len(q))
+
+        staged = {
+            "a": self.stage_g1(padded(params.a)),
+            "b_g1": self.stage_g1(padded(params.b_g1)),
+            "l": self.stage_g1(padded(params.l)),
+            "h": self.stage_g1(padded(params.h)),
+            "b_g2": self.stage_g2(
+                list(params.b_g2)
+                + [None] * (_pad_pow2ish(len(params.b_g2))
+                            - len(params.b_g2))
+            ),
+        }
+        params._staged_cache = (key, staged)
+        return staged
+
     def _scalars_limbs(self, scalars, n: int):
         """list[int] or plain-form (16, k) limb array -> (16, n) padded
         (device arrays stay on device -- the h scalars feed the MSM
@@ -211,6 +255,12 @@ class TpuEngine:
         return F.ints_to_limbs(scs)
 
     def _grouped_jit(self, kind: str, M: int, n: int, c: int, lanes: int):
+        if self.msm_style == "rns":
+            # the rns branch always runs c=4 with lanes clamped to 128;
+            # normalize the cache key so different auto-computed lane
+            # values don't duplicate compiles of identical kernels
+            c = 4
+            lanes = min(self.lanes or 128, 128)
         key = ("grp", kind, M, n, c, lanes, self.reduce_style,
                self.msm_style)
         if key not in self._jit_cache:
@@ -230,6 +280,28 @@ class TpuEngine:
                         self.mesh, ops, c=4, lanes=L,
                         is_g2=(kind == "g2"),
                     )
+                    return self._jit_cache[key]
+
+                import os
+
+                # fused Pallas accumulation on TPU for non-tiny MSMs
+                # (VMEM-resident accumulator; pallas_msm_rns); the XLA
+                # formulation stays as the CPU/test and fallback path
+                use_pallas = (
+                    jax.default_backend() == "tpu"
+                    and n >= 2048
+                    and os.environ.get("ZA_PALLAS_MSM", "1") != "0"
+                )
+                if use_pallas:
+                    from . import pallas_msm_rns as PMR
+
+                    def run(points, scalars):
+                        return PMR.msm_signed_dense_pallas(
+                            points, scalars, ops,
+                            lanes=min(self.lanes or 128, 128),
+                        )
+
+                    self._jit_cache[key] = jax.jit(run)
                     return self._jit_cache[key]
 
                 # lanes capped at 128: L=256 graphs re-trigger the

@@ -773,6 +773,14 @@ def signed_digits(scalars, c: int):
     shape = scalars.shape
     flat = scalars.reshape(F.NLIMBS, -1)
     W = -(-254 // c)
+    # no-carry-out precondition of the closed-form recode: the top
+    # window must have at least one bit of headroom (scalars < 2^254,
+    # so c*W >= 255 keeps the top digit < 2^(c-1) and the final carry
+    # zero). c=2 (W=127, c*W=254) would silently drop a carry.
+    assert c * W >= 255, (
+        f"signed_digits: c={c} leaves no top-window headroom "
+        f"(c*W={c * W} < 255); scalars >= 2^253 would decode wrong"
+    )
     raw = digits_from_limbs(flat, c)[:W].astype(jnp.int32)  # (W, n)
     top = raw >> (c - 1)  # 0/1
     prev_top = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]])

@@ -89,8 +89,6 @@ def prove(
 
     from .setup import expand_queries
 
-    params = expand_queries(params, r1cs)  # undo pk density filtering
-
     domain = Domain(params.domain_size)
     if hasattr(engine, "h_coeffs_limbs"):
         h = engine.h_coeffs_limbs(r1cs, z, domain)  # stays in limb form
@@ -100,7 +98,30 @@ def prove(
     ni = r1cs.num_inputs
     vk = params.vk
 
-    if hasattr(engine, "msm_g1_many") and getattr(engine, "use_grouped", False):
+    if (
+        hasattr(engine, "stage_params")
+        and getattr(engine, "use_grouped", False)
+        # tiny circuits keep the host-list path (engine._msm_many's
+        # exact-host fallback: device offload buys nothing below ~512
+        # points and small shapes are where the tunneled backend's
+        # miscompile family lives)
+        and max(r1cs.num_vars, params.domain_size - 1) >= 512
+    ):
+        # device-resident pk: queries staged once per process (cached
+        # on params), scalars converted to limb arrays once -- repeat
+        # proves do zero host->device pk conversion
+        from ..engine import field as _F
+
+        staged = engine.stage_params(params, r1cs)
+        z_l = _F.ints_to_limbs([v % R for v in z])
+        a_acc, b_acc_g1, l_acc, h_acc = engine.msm_g1_many(
+            [staged["a"], staged["b_g1"], staged["l"], staged["h"]],
+            [z_l, z_l, z_l[:, ni:], h],
+        )
+        b_acc_g2 = engine.msm_g2_many([staged["b_g2"]], [z_l])[0]
+    elif hasattr(engine, "msm_g1_many") and getattr(engine, "use_grouped",
+                                                    False):
+        params = expand_queries(params, r1cs)  # undo pk density filtering
         # one grouped window-parallel kernel for the four G1 MSMs
         a_acc, b_acc_g1, l_acc, h_acc = engine.msm_g1_many(
             [params.a, params.b_g1, params.l, params.h],
@@ -108,6 +129,7 @@ def prove(
         )
         b_acc_g2 = engine.msm_g2(params.b_g2, z)
     else:
+        params = expand_queries(params, r1cs)  # undo pk density filtering
         a_acc = engine.msm_g1(params.a, z)
         b_acc_g2 = engine.msm_g2(params.b_g2, z)
         b_acc_g1 = engine.msm_g1(params.b_g1, z)

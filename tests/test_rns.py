@@ -6,6 +6,7 @@ complete EC group law. All eager (see test_engine.py header)."""
 import random
 from contextlib import contextmanager
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -282,3 +283,31 @@ def test_rns_ntt_matches_host():
     cf = NR.coset_ntt(rd, cm)
     assert demont(cf) == dom.coset_ntt(coeffs)
     assert demont(NR.coset_intt(rd, cf)) == coeffs
+
+
+def test_rns_fourstep_matches_unrolled():
+    """The four-step RNS NTT core (TPU lane layout) computes the same
+    transform as the 2D unrolled core, forward and inverse."""
+    import za_tpu.engine.ntt_rns as NR
+    from za_tpu.curve import R as FR_MOD
+    from za_tpu.groth16.domain import Domain
+
+    m = 64
+    dom = Domain(m)
+    fs = NR.RnsFourStep(m, dom.omega, dom.size_inv)
+    rd = NR.RnsDomain(m)
+    coeffs = [rng.randrange(FR_MOD) for _ in range(m)]
+    cm = RR.ints_to_rns([c * RR.m1 % FR_MOD for c in coeffs])
+
+    def demont(x):
+        vals = RR.rns_to_ints(np.asarray(x))
+        return [RR.from_mont_int(v) % FR_MOD for v in vals]
+
+    fwd = NR._fourstep_core(
+        jnp.asarray(cm), fs.t2_fwd, fs.t1_fwd, fs.inter_fwd, fs.n1, fs.n2
+    )
+    assert demont(fwd) == dom.ntt(coeffs)
+    inv = NR._fourstep_core(
+        jnp.asarray(fwd), fs.t2_inv, fs.t1_inv, fs.inter_inv, fs.n1, fs.n2
+    )
+    assert demont(inv) == coeffs  # 1/n folded into inter_inv

@@ -192,6 +192,10 @@ def main(argv=None):
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(asctime)s %(levelname)s %(message)s",
     )
+    if args.verbose and "ZA_METRICS" not in os.environ:
+        # per-stage device timings from the engine (SURVEY.md section 5
+        # metrics row); read at engine import, which happens after this
+        os.environ["ZA_METRICS"] = "1"
     sys.setrecursionlimit(100_000)
     try:
         return args.fn(args)

@@ -20,6 +20,45 @@ from . import ec, field as F, msm as MSM, ntt as NTT
 from .field import FR
 
 
+import logging as _logging
+import os as _os
+import time as _time
+
+_metrics_log = _logging.getLogger("za_tpu.metrics")
+
+
+class _StageTimer:
+    """Per-stage device timing, enabled with ZA_METRICS=1 (or -v CLI).
+
+    The tunneled TPU backend's block_until_ready does not synchronize;
+    a one-element d2h copy is the only reliable barrier, so enabling
+    metrics adds a sync per stage (small, but off by default)."""
+
+    enabled = _os.environ.get("ZA_METRICS", "0") != "0"
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        if self.enabled:
+            self.t0 = _time.monotonic()
+        return self
+
+    def done(self, result=None):
+        """Force the result and log; returns the result unchanged."""
+        if self.enabled and result is not None:
+            leaf = jax.tree_util.tree_leaves(result)[0]
+            np.asarray(leaf.reshape(-1)[:1])
+        return result
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            _metrics_log.info(
+                "[stage] %s: %.3fs", self.name,
+                _time.monotonic() - self.t0,
+            )
+
+
 def _pad_pow2ish(n: int, align: int = 8) -> int:
     """Round up to the next power of two: MSM shapes collapse onto a
     handful of sizes so the a/b1/l/h queries share compiled kernels."""
@@ -368,32 +407,38 @@ class TpuEngine:
             return len(p)
 
         n = _pad_pow2ish(max(npoints(p) for p in points_list))
-        devp, devs = [], []
-        for pts, scs in zip(points_list, scalars_list):
-            if isinstance(pts, tuple):
-                k = npoints(pts)
-                if k < n:  # pad columns with the identity (0:1:0)
-                    ident = stage([None] * (n - k))
-                    pts = jax.tree_util.tree_map(
-                        lambda a, b: jnp.concatenate(
-                            [jnp.asarray(a), b], axis=-1
-                        ),
-                        pts, ident,
-                    )
-            else:
-                pts = stage(list(pts) + [None] * (n - len(pts)))
-            devp.append(pts)
-            devs.append(self._scalars_limbs(scs, n))
-        points = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs, axis=-2), *devp
-        )
-        scalars = jnp.stack([jnp.asarray(s) for s in devs], axis=1)
+        with _StageTimer(f"msm.{kind}.stage") as st:
+            devp, devs = [], []
+            for pts, scs in zip(points_list, scalars_list):
+                if isinstance(pts, tuple):
+                    k = npoints(pts)
+                    if k < n:  # pad columns with the identity (0:1:0)
+                        ident = stage([None] * (n - k))
+                        pts = jax.tree_util.tree_map(
+                            lambda a, b: jnp.concatenate(
+                                [jnp.asarray(a), b], axis=-1
+                            ),
+                            pts, ident,
+                        )
+                else:
+                    pts = stage(list(pts) + [None] * (n - len(pts)))
+                devp.append(pts)
+                devs.append(self._scalars_limbs(scs, n))
+            points = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, axis=-2), *devp
+            )
+            scalars = st.done(
+                jnp.stack([jnp.asarray(s) for s in devs], axis=1)
+            )
         c, lanes = MSM.auto_params_grouped(n, M, is_g2=is_g2)
         if self.window is not None:
             c = self.window
         if self.lanes is not None:
             lanes = self.lanes
-        X, Y, Z = self._grouped_jit(kind, M, n, c, lanes)(points, scalars)
+        with _StageTimer(f"msm.{kind}.kernel[n={n},M={M}]") as st:
+            X, Y, Z = st.done(
+                self._grouped_jit(kind, M, n, c, lanes)(points, scalars)
+            )
         if self.msm_style == "rns":
             if is_g2:
                 Xn, Yn, Zn = np.asarray(X), np.asarray(Y), np.asarray(Z)
@@ -710,6 +755,154 @@ class TpuEngine:
         )
         return h[:, : m - 1]
 
+    # -- RNS mesh h(x) pipeline (multi-chip default) --------------------------
+
+    @staticmethod
+    def _pack_rows_sharded_rns(rows, m: int, D: int):
+        """Sparse rows -> per-shard RNS triples (coeffs (D, 35, nnz)
+        Montgomery-RNS, colidx (D, nnz), rowidx (D, nnz) shard-local),
+        nnz padded to the max shard."""
+        from . import rns as RNS
+        from ..curve import R as FR_MOD
+
+        m_loc = m // D
+        per = [[[], [], []] for _ in range(D)]
+        for k, row in enumerate(rows):
+            assert len(row) <= (1 << 16), (
+                "constraint row too long for u32 channel sums"
+            )
+            d = k // m_loc
+            for var, coeff in row:
+                per[d][0].append(coeff * RNS.RR.m1 % FR_MOD)
+                per[d][1].append(var)
+                per[d][2].append(k - d * m_loc)
+        nnz = _pad_pow2ish(max(max(len(p[0]) for p in per), 1))
+        coeffs = np.zeros((D, RNS.N_CH, nnz), dtype=np.uint32)
+        cols = np.zeros((D, nnz), dtype=np.int32)
+        rowids = np.zeros((D, nnz), dtype=np.int32)
+        for d in range(D):
+            c, v, r = per[d]
+            if c:
+                coeffs[d, :, : len(c)] = RNS.RR.ints_to_rns(c)
+                cols[d, : len(c)] = v
+                rowids[d, : len(c)] = r
+        return (jnp.asarray(coeffs), jnp.asarray(cols),
+                jnp.asarray(rowids))
+
+    def _mesh_h_tools_rns(self, r1cs: R1CS, m: int):
+        """Sharded RNS matvec + NTT callables for domain size m."""
+        from . import mesh as MESH
+
+        key = ("mesh_h_rns", m)
+        tools = self._jit_cache.get(key)
+        if tools is None:
+            D = self._mesh_d
+            dd = MESH.ShardedRnsDomain(m, D)
+            tools = {
+                "ntt": MESH.sharded_ntt_rns_fn(self.mesh, dd,
+                                               inverse=False),
+                "intt": MESH.sharded_ntt_rns_fn(self.mesh, dd,
+                                                inverse=True),
+            }
+            self._jit_cache[key] = tools
+        ent = getattr(r1cs, "_dev_entries_sharded_rns", None)
+        if ent is None:
+            D = self._mesh_d
+            ent = tuple(
+                self._pack_rows_sharded_rns(rows, m, D)
+                for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)
+            )
+            r1cs._dev_entries_sharded_rns = ent
+        nnz = ent[0][1].shape[1]
+        mv_key = ("mesh_mv_rns", m, nnz)
+        mv = self._jit_cache.get(mv_key)
+        if mv is None:
+            from . import mesh as MESH
+
+            mv = MESH.sharded_matvec_rns_fn(self.mesh, m, nnz)
+            self._jit_cache[mv_key] = mv
+        return tools, ent, mv
+
+    def _h_coeffs_limbs_mesh_rns(self, r1cs: R1CS, z: list[int],
+                                 domain: Domain) -> np.ndarray:
+        """h(x) with every heavy stage sharded AND in Montgomery RNS:
+        per-row sharded matvecs, four-step NTTs with all_to_all over
+        the mesh axis, RNS combine, exact CRT out (the multi-chip
+        analogue of _h_coeffs_limbs_rns -- same per-chip kernels as
+        single-chip, so the mesh path no longer decelerates)."""
+        from . import rns as RNS
+
+        m = domain.size
+        tools, ent, mv = self._mesh_h_tools_rns(r1cs, m)
+        z_rns = self._rns_piece_to_mont()(
+            jnp.asarray(F.ints_to_limbs([v % R for v in z]))
+        )
+
+        n = r1cs.num_constraints
+        az0 = self._rns_az0_jit(m, n, r1cs.num_inputs)(z_rns)
+        zero0 = jnp.zeros((RNS.N_CH, m), dtype=jnp.uint32)
+        finish = self._rns_piece("mv_finish")
+        scale = self._rns_piece_scale()
+
+        dom = self._rns_mesh_scalars(m)
+
+        def leg(e, base):
+            evals = finish(mv(z_rns, *e), base)
+            coeffs = tools["intt"](evals)
+            return tools["ntt"](scale(coeffs, dom["coset_pow"]))
+
+        a_c = leg(ent[0], az0)
+        b_c = leg(ent[1], zero0)
+        c_c = leg(ent[2], zero0)
+        hc = self._rns_piece("h_combine")(
+            a_c, b_c, c_c, dom["z_coset_inv"]
+        )
+        h_rns = scale(tools["intt"](hc), dom["coset_inv"])
+        h = self._rns_piece("to_scalars")(h_rns)
+        assert not np.asarray(h[:, m - 1 :]).any(), (
+            "h(x) degree overflow: witness unsatisfied?"
+        )
+        return h[:, : m - 1]
+
+    def _rns_mesh_scalars(self, m: int):
+        """Coset scaling vectors for the mesh RNS pipeline (the sharded
+        NTT folds 1/n into its inverse, so the coset-inverse vector has
+        no 1/n factor)."""
+        from . import ntt_rns as NR
+
+        key = ("rns_mesh_scal", m)
+        d = self._jit_cache.get(key)
+        if d is None:
+            from ..groth16.domain import Domain as HostDomain
+
+            h = HostDomain(m)
+            d = {
+                "coset_pow": jnp.asarray(
+                    NR._mont_table(NR._pow_list(h.coset_gen, m))
+                ),
+                "coset_inv": jnp.asarray(
+                    NR._mont_table(NR._pow_list(h.coset_gen_inv, m))
+                ),
+                "z_coset_inv": jnp.asarray(
+                    NR._mont_table([h.z_coset_inv])
+                ),
+            }
+            self._jit_cache[key] = d
+        return d
+
+    def _rns_piece_scale(self):
+        from . import rns as RNS
+
+        fn = self._jit_cache.get(("rns_piece", "scale"))
+        if fn is None:
+            fn = jax.jit(
+                lambda x, v: RNS.mont_mul_rns(
+                    x, jnp.broadcast_to(v, x.shape), RNS.RR
+                )
+            )
+            self._jit_cache[("rns_piece", "scale")] = fn
+        return fn
+
     # -- RNS h(x) pipeline (single-chip TPU default) --------------------------
 
     def _rns_domain(self, size: int):
@@ -831,35 +1024,61 @@ class TpuEngine:
         ent = self._r1cs_entries_rns(r1cs)
         dom = self._rns_domain(m)
 
-        z_limbs = F.ints_to_limbs([v % R for v in z])
-        z_rns = self._rns_piece_to_mont()(jnp.asarray(z_limbs))
+        with _StageTimer("h.z_to_rns") as st:
+            z_limbs = F.ints_to_limbs([v % R for v in z])
+            z_rns = st.done(self._rns_piece_to_mont()(jnp.asarray(z_limbs)))
 
-        # input-preservation rows: az[n+i] = z_i (bellman layout)
+        # input-preservation rows: az[n+i] = z_i (bellman layout),
+        # built on device (a host build would d2h the whole witness)
         n = r1cs.num_constraints
-        az0 = np.zeros((RNS.N_CH, m), dtype=np.uint32)
-        az0[:, n : n + r1cs.num_inputs] = np.asarray(z_rns)[
-            :, : r1cs.num_inputs
-        ]
+        az0 = self._rns_az0_jit(m, n, r1cs.num_inputs)(z_rns)
         zero0 = jnp.zeros((RNS.N_CH, m), dtype=jnp.uint32)
         finish = self._rns_piece("mv_finish")
 
-        def leg(e, base):
-            mv = self._matvec_rns_jit(m, e[1].shape[0])(z_rns, *e)
-            evals = finish(mv, base)
-            return NR.coset_ntt_steps(dom, NR.intt_steps(dom, evals))
+        def leg(name, e, base):
+            with _StageTimer(f"h.matvec.{name}") as st:
+                mv = st.done(
+                    self._matvec_rns_jit(m, e[1].shape[0])(z_rns, *e)
+                )
+            with _StageTimer(f"h.ntt.{name}") as st:
+                evals = finish(mv, base)
+                return st.done(
+                    NR.coset_ntt_steps(dom, NR.intt_steps(dom, evals))
+                )
 
-        a_c = leg(ent[0], jnp.asarray(az0))
-        b_c = leg(ent[1], zero0)
-        c_c = leg(ent[2], zero0)
-        hc = self._rns_piece("h_combine")(
-            a_c, b_c, c_c, dom.z_coset_inv
-        )
-        h_rns = NR.coset_intt_steps(dom, hc)
-        h = self._rns_piece("to_scalars")(h_rns)
+        a_c = leg("a", ent[0], az0)
+        b_c = leg("b", ent[1], zero0)
+        c_c = leg("c", ent[2], zero0)
+        with _StageTimer("h.combine+intt") as st:
+            hc = self._rns_piece("h_combine")(
+                a_c, b_c, c_c, dom.z_coset_inv
+            )
+            h_rns = st.done(NR.coset_intt_steps(dom, hc))
+        with _StageTimer("h.to_scalars") as st:
+            h = st.done(self._rns_piece("to_scalars")(h_rns))
         assert not np.asarray(h[:, m - 1 :]).any(), (
             "h(x) degree overflow: witness unsatisfied?"
         )
         return h[:, : m - 1]  # device-resident: feeds the MSM directly
+
+    def _rns_az0_jit(self, m: int, n: int, ni: int):
+        """Device builder for the input-preservation base vector:
+        zeros (35, m) with columns n..n+ni = z_rns[:, :ni]."""
+        from . import rns as RNS
+
+        key = ("rns_az0", m, n, ni)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+
+            def fn_(z_rns):
+                az = jnp.zeros((RNS.N_CH, m), dtype=jnp.uint32)
+                return jax.lax.dynamic_update_slice(
+                    az, z_rns[:, :ni], (0, n)
+                )
+
+            fn = jax.jit(fn_)
+            self._jit_cache[key] = fn
+        return fn
 
     def _rns_piece_to_mont(self):
         from . import rns as RNS
@@ -878,12 +1097,14 @@ class TpuEngine:
                        domain: Domain) -> np.ndarray:
         """h_0..h_{m-2} as a plain-form (16, m-1) limb array -- feeds
         msm_g1_many directly without a host int round-trip."""
-        if self.mesh is None and self.msm_style == "rns":
-            return self._h_coeffs_limbs_rns(r1cs, z, domain)
         if self.mesh is not None and domain.size >= self._mesh_d ** 2:
             # the four-step sharded NTT needs D^2 | m; tiny domains
             # stay single-device
+            if self.msm_style == "rns":
+                return self._h_coeffs_limbs_mesh_rns(r1cs, z, domain)
             return self._h_coeffs_limbs_mesh(r1cs, z, domain)
+        if self.msm_style == "rns":
+            return self._h_coeffs_limbs_rns(r1cs, z, domain)
         m = domain.size
         a_ent, b_ent, c_ent = self._r1cs_entries(r1cs)
         dom = self._domain(m)

@@ -264,6 +264,45 @@ def sharded_matvec_fn(mesh: Mesh, m: int, nnz_shard: int):
     return jax.jit(fn)
 
 
+# -- sharded RNS R1CS matvec --------------------------------------------------
+# The RNS port of sharded_matvec_fn: channel products via Montgomery
+# RNS, u32 segment sums (row length <= 2^16 guaranteed by the packer),
+# channel fold, then one bound-reset mul (engine._matvec_rns_jit).
+
+
+def sharded_matvec_rns_fn(mesh: Mesh, m: int, nnz_shard: int):
+    """(35, nv) Montgomery-RNS witness (replicated), per-shard entries
+    (coeffs (D, 35, nnz) Montgomery-RNS, colidx (D, nnz), rowidx
+    (D, nnz) local) -> (35, m) Montgomery-RNS, sharded on the domain."""
+    from . import rns as RNS
+
+    ctx = RNS.RR
+    D = mesh.devices.size
+    m_loc = m // D
+    m1rep = ctx.ints_to_rns([ctx.m1 % ctx.modulus])[:, 0]
+
+    def body(z_rns, coeffs, colidx, rowidx):
+        prod = RNS.mont_mul_rns(coeffs[0], z_rns[:, colidx[0]], ctx)
+        sums = jax.ops.segment_sum(
+            prod.T, rowidx[0], num_segments=m_loc
+        ).T  # (35, m_loc) u32 channel sums
+        canon = RNS._fold3(sums, ctx.eps[:, None], ctx.p[:, None])
+        # bound reset: full mont mul by rep(M1 mod r) divides by M1,
+        # bringing the represented integer back under 4N
+        return RNS.mont_mul_rns(canon, RNS._b(m1rep, canon), ctx)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(AXIS, None, None), P(AXIS, None),
+            P(AXIS, None),
+        ),
+        out_specs=P(None, AXIS),
+    )
+    return jax.jit(fn)
+
+
 # -- sharded four-step NTT ----------------------------------------------------
 
 
@@ -384,6 +423,141 @@ def sharded_ntt_fn(mesh: Mesh, dd: ShardedDomain, inverse: bool = False):
 
     def body(x_loc, tw_loc, wd_row):
         return _fourstep_local(x_loc, tw_loc, wd_row, table, dd, inverse)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(AXIS, None, None), P(AXIS, None, None)),
+        out_specs=P(None, AXIS),
+    )
+
+    @jax.jit
+    def run(x):
+        return fn(x, tw, wd)
+
+    return run
+
+
+# -- sharded four-step RNS NTT ------------------------------------------------
+# The RNS port of ShardedDomain/sharded_ntt_fn: identical data motion
+# (all_to_all redistribution, local sub-NTT, inter-factor twiddle,
+# all_gather + dense size-D DFT), field ops in Montgomery RNS.  Bounds:
+# sub-NTT butterflies grow <= 8N per stage from < 4N; the outer DFT
+# sums D fresh mul outputs (< 4N each, <= 32N at D=8) -- inside the
+# 512N mont contract.
+
+
+class ShardedRnsDomain:
+    """Four-step tables for size n over D devices, Montgomery RNS."""
+
+    def __init__(self, size: int, n_devices: int):
+        assert size % (n_devices * n_devices) == 0, (
+            "four-step layout needs D^2 | n"
+        )
+        from . import ntt_rns as NR
+        from ..groth16.domain import Domain
+
+        self.size = size
+        self.D = n_devices
+        self.n2 = size // n_devices
+        h = Domain(size)
+        self.omega = h.omega
+        sub = Domain(self.n2)
+        self.sub_fwd = jnp.asarray(
+            NR._mont_table(NR._pow_list(sub.omega, max(self.n2 // 2, 1)))
+        )
+        self.sub_inv = jnp.asarray(
+            NR._mont_table(
+                NR._pow_list(sub.omega_inv, max(self.n2 // 2, 1))
+            )
+        )
+
+        from . import rns as RNS
+
+        # inter-factor twiddles w_n^(j1*k2), device j1's row: (D, 35, n2)
+        tw = np.empty((n_devices, RNS.N_CH, self.n2), dtype=np.uint32)
+        tw_inv = np.empty_like(tw)
+        w = self.omega
+        winv = pow(w, R - 2, R)
+        for j1 in range(n_devices):
+            tw[j1] = NR._mont_table(
+                [pow(w, j1 * k2, R) for k2 in range(self.n2)]
+            )
+            tw_inv[j1] = NR._mont_table(
+                [pow(winv, j1 * k2, R) for k2 in range(self.n2)]
+            )
+        self.tw = tw
+        self.tw_inv = tw_inv
+
+        # outer size-D DFT matrices: (D, D, 35) rows per device
+        wD = pow(self.omega, self.n2, R)
+        wDinv = pow(wD, R - 2, R)
+
+        def dft(base):
+            out = np.empty(
+                (n_devices, n_devices, RNS.N_CH), dtype=np.uint32
+            )
+            for k1 in range(n_devices):
+                out[k1] = NR._mont_table(
+                    [pow(base, (j1 * k1) % n_devices, R)
+                     for j1 in range(n_devices)]
+                ).T
+            return out
+
+        self.WD = dft(wD)
+        self.WDinv = dft(wDinv)
+        self.size_inv = jnp.asarray(
+            NR._mont_table([pow(size, R - 2, R)])
+        )
+
+
+def _fourstep_local_rns(x_loc, tw_loc, wd_row, sub_table,
+                        dd: "ShardedRnsDomain", inverse: bool):
+    """Shard-local four-step RNS NTT body (under shard_map).
+
+    x_loc:  (35, n2) contiguous shard
+    tw_loc: (1, 35, n2) this device's inter-factor twiddle row
+    wd_row: (1, D, 35) this device's row of the size-D DFT matrix
+    """
+    from . import ntt_rns as NR, rns as RNS
+
+    ctx = RNS.RR
+    D, n2 = dd.D, dd.n2
+    # step A: contiguous -> decimated-by-D rows over ICI
+    x2 = jnp.swapaxes(x_loc.reshape(RNS.N_CH, n2 // D, D), 1, 2)
+    row = jax.lax.all_to_all(x2, AXIS, split_axis=1, concat_axis=1)
+    row = row.reshape(RNS.N_CH, n2)
+    # step B: local size-n2 NTT over the owned row
+    row = NR._ntt_core(row, sub_table, n2)
+    # step C: inter-factor twiddle (bound reset to < 4N)
+    row = RNS.mont_mul_rns(row, tw_loc[0], ctx)
+    # step D: outer size-D DFT over gathered rows
+    allrows = jax.lax.all_gather(row, AXIS)            # (D, 35, n2)
+    w = jnp.transpose(wd_row[0], (1, 0))[:, :, None]   # (35, D, 1)
+    prods = RNS.mont_mul_rns(
+        jnp.moveaxis(allrows, 0, 1),                   # (35, D, n2)
+        jnp.broadcast_to(w, (RNS.N_CH, D, n2)), ctx,
+    )
+    out = prods[:, 0]
+    for j in range(1, D):
+        out = RNS.ch_add(out, prods[:, j], ctx)
+    if inverse:
+        out = RNS.mont_mul_rns(
+            out, jnp.broadcast_to(dd.size_inv, out.shape), ctx
+        )
+    return out
+
+
+def sharded_ntt_rns_fn(mesh: Mesh, dd: "ShardedRnsDomain",
+                       inverse: bool = False):
+    """Jitted sharded RNS NTT: (35, n) sharded on axis 1 -> same."""
+    tw = jnp.asarray(dd.tw_inv if inverse else dd.tw)
+    wd = jnp.asarray(dd.WDinv if inverse else dd.WD)
+    table = dd.sub_inv if inverse else dd.sub_fwd
+
+    def body(x_loc, tw_loc, wd_row):
+        return _fourstep_local_rns(x_loc, tw_loc, wd_row, table, dd,
+                                   inverse)
 
     fn = shard_map(
         body,

@@ -45,6 +45,12 @@ def _pow_list(base: int, count: int) -> list[int]:
     return out
 
 
+#: domains at least this large use the four-step layout on TPU (the 2D
+#: unrolled butterflies waste lanes in the early stages; the four-step
+#: split keeps the lane axis full -- see ntt.py FourStepTables)
+FOURSTEP_MIN = 1 << 12
+
+
 class RnsDomain:
     """Twiddle/scaling tables for a 2^k domain in Montgomery RNS."""
 
@@ -52,19 +58,75 @@ class RnsDomain:
         self.size = size
         self.host = Domain(size)
         h = self.host
-        half = max(size // 2, 1)
-        self.w_fwd = jnp.asarray(_mont_table(_pow_list(h.omega, half)))
-        self.w_inv = jnp.asarray(_mont_table(_pow_list(h.omega_inv, half)))
+        self.fourstep = (
+            RnsFourStep(size, h.omega, h.size_inv)
+            if size >= FOURSTEP_MIN and jax.default_backend() == "tpu"
+            else None
+        )
+        if self.fourstep is None:
+            half = max(size // 2, 1)
+            self.w_fwd = jnp.asarray(_mont_table(_pow_list(h.omega, half)))
+            self.w_inv = jnp.asarray(
+                _mont_table(_pow_list(h.omega_inv, half))
+            )
         self.size_inv = jnp.asarray(_mont_table([h.size_inv]))
         self.coset_pow = jnp.asarray(_mont_table(_pow_list(h.coset_gen, size)))
-        # inverse coset scaling with 1/n folded in
-        inv_scaled = []
-        acc = h.size_inv
-        for _ in range(size):
-            inv_scaled.append(acc)
-            acc = acc * h.coset_gen_inv % R
-        self.coset_inv_pow = jnp.asarray(_mont_table(inv_scaled))
+        if self.fourstep is None:
+            # inverse coset scaling with 1/n folded in
+            inv_scaled = []
+            acc = h.size_inv
+            for _ in range(size):
+                inv_scaled.append(acc)
+                acc = acc * h.coset_gen_inv % R
+            self.coset_inv_pow = jnp.asarray(_mont_table(inv_scaled))
+        else:
+            # the four-step inverse folds 1/n into its inter twiddles
+            self.coset_inv_nofold = jnp.asarray(
+                _mont_table(_pow_list(h.coset_gen_inv, size))
+            )
         self.z_coset_inv = jnp.asarray(_mont_table([h.z_coset_inv]))
+
+
+class RnsFourStep:
+    """Four-step tables: n = n1*n2, batched sub-NTTs along a non-lane
+    axis with an elementwise inter-factor twiddle (+1/n on the inverse)
+    in between (RNS port of ntt.FourStepTables)."""
+
+    def __init__(self, size: int, omega: int, size_inv: int):
+        k = size.bit_length() - 1
+        self.n1 = 1 << ((k + 1) // 2)
+        self.n2 = size // self.n1
+        self.size = size
+        sub1 = Domain(self.n1)
+        sub2 = Domain(self.n2)
+        self.t1_fwd = jnp.asarray(
+            _mont_table(_pow_list(sub1.omega, max(self.n1 // 2, 1)))
+        )
+        self.t1_inv = jnp.asarray(
+            _mont_table(_pow_list(sub1.omega_inv, max(self.n1 // 2, 1)))
+        )
+        self.t2_fwd = jnp.asarray(
+            _mont_table(_pow_list(sub2.omega, max(self.n2 // 2, 1)))
+        )
+        self.t2_inv = jnp.asarray(
+            _mont_table(_pow_list(sub2.omega_inv, max(self.n2 // 2, 1)))
+        )
+        self.inter_fwd = jnp.asarray(self._inter(omega, 1))
+        self.inter_inv = jnp.asarray(
+            self._inter(pow(omega, R - 2, R), size_inv)
+        )
+
+    def _inter(self, w: int, scale: int) -> np.ndarray:
+        out = np.empty((RNS.N_CH, self.n2, self.n1), dtype=np.uint32)
+        for k2 in range(self.n2):
+            wk = pow(w, k2, R)
+            row = []
+            acc = scale % R
+            for _ in range(self.n1):
+                row.append(acc)
+                acc = acc * wk % R
+            out[:, k2, :] = _mont_table(row)
+        return out
 
 
 def _ntt_core(x, table, n: int):
@@ -97,22 +159,79 @@ def _scale(x, v):
     return RNS.mont_mul_rns(x, jnp.broadcast_to(v, x.shape), RR)
 
 
+def _core_eager(dom: "RnsDomain", x, inverse: bool):
+    fs = dom.fourstep
+    if fs is not None:
+        return _fourstep_core(
+            x,
+            fs.t2_inv if inverse else fs.t2_fwd,
+            fs.t1_inv if inverse else fs.t1_fwd,
+            fs.inter_inv if inverse else fs.inter_fwd,
+            fs.n1, fs.n2,
+        )
+    return _ntt_core(x, dom.w_inv if inverse else dom.w_fwd, dom.size)
+
+
 def ntt(dom: RnsDomain, coeffs):
-    return _ntt_core(coeffs, dom.w_fwd, dom.size)
+    return _core_eager(dom, coeffs, inverse=False)
 
 
 def intt(dom: RnsDomain, evals):
-    x = _ntt_core(evals, dom.w_inv, dom.size)
+    x = _core_eager(dom, evals, inverse=True)
+    if dom.fourstep is not None:  # inverse folds 1/n already
+        return x
     return _scale(x, dom.size_inv)
 
 
 def coset_ntt(dom: RnsDomain, coeffs):
-    return _ntt_core(_scale(coeffs, dom.coset_pow), dom.w_fwd, dom.size)
+    return _core_eager(dom, _scale(coeffs, dom.coset_pow), inverse=False)
 
 
 def coset_intt(dom: RnsDomain, evals):
-    x = _ntt_core(evals, dom.w_inv, dom.size)
+    x = _core_eager(dom, evals, inverse=True)
+    if dom.fourstep is not None:
+        return _scale(x, dom.coset_inv_nofold)
     return _scale(x, dom.coset_inv_pow)
+
+
+# -- four-step core (lane-friendly stage layout) ------------------------------
+
+
+def _sub_ntt_axis1(x, table, S: int):
+    """Radix-2 NTT along axis 1 of (35, S, lanes); table (35, S/2).
+    Bounds: butterfly outputs grow <= 8N per stage from a < 4N start
+    (each twiddle multiply resets its own output to < 4N)."""
+    lanes = x.shape[2]
+    x = x[:, np.asarray(_bitrev_indices(S)), :]
+    length = 2
+    while length <= S:
+        half = length // 2
+        stride = S // length
+        tw = table[:, ::stride][:, :half]  # (35, half)
+        xr = x.reshape(RNS.N_CH, S // length, length, lanes)
+        u = xr[:, :, :half, :]
+        v = xr[:, :, half:, :]
+        twb = jnp.broadcast_to(tw[:, None, :, None], v.shape)
+        vt = RNS.mont_mul_rns(v, twb, RR)
+        x = jnp.concatenate(
+            [
+                RNS.ch_add(u, vt, RR),
+                RNS.ch_sub_off(u, vt, RR, off_vec=RR.sub_off8),
+            ],
+            axis=2,
+        ).reshape(RNS.N_CH, S, lanes)
+        length *= 2
+    return x
+
+
+def _fourstep_core(x, t2, t1, inter, n1: int, n2: int):
+    """(35, n) natural order -> (35, n) natural order."""
+    xr = x.reshape(RNS.N_CH, n2, n1)      # element (j2, j1) = x[j1 + n1*j2]
+    a = _sub_ntt_axis1(xr, t2, n2)        # inner NTT over j2
+    a = RNS.mont_mul_rns(a, inter, RR)    # omega^(j1*k2) (+ 1/n inverse)
+    a = jnp.swapaxes(a, 1, 2)             # (35, n1, n2): axis1 = j1
+    b = _sub_ntt_axis1(a, t1, n1)         # outer NTT over j1
+    return b.reshape(RNS.N_CH, n1 * n2)   # [k1, k2] -> natural order
 
 
 # -- compile-shared drivers (one jitted core per size, tables as args) --------
@@ -120,11 +239,14 @@ def coset_intt(dom: RnsDomain, evals):
 _piece_jits: dict = {}
 
 
-def _core_jit(size: int):
-    key = ("rns_core", size)
+def _core_jit(size: int, fourstep: bool):
+    key = ("rns_core", size, fourstep)
     fn = _piece_jits.get(key)
     if fn is None:
-        fn = jax.jit(lambda x, table: _ntt_core(x, table, size))
+        if fourstep:
+            fn = jax.jit(_fourstep_core, static_argnums=(4, 5))
+        else:
+            fn = jax.jit(lambda x, table: _ntt_core(x, table, size))
         _piece_jits[key] = fn
     return fn
 
@@ -137,20 +259,35 @@ def _scale_jit():
     return fn
 
 
+def _run_core(dom: RnsDomain, x, inverse: bool):
+    fs = dom.fourstep
+    if fs is not None:
+        t2 = fs.t2_inv if inverse else fs.t2_fwd
+        t1 = fs.t1_inv if inverse else fs.t1_fwd
+        inter = fs.inter_inv if inverse else fs.inter_fwd
+        return _core_jit(dom.size, True)(x, t2, t1, inter, fs.n1, fs.n2)
+    table = dom.w_inv if inverse else dom.w_fwd
+    return _core_jit(dom.size, False)(x, table)
+
+
 def ntt_steps(dom: RnsDomain, coeffs):
-    return _core_jit(dom.size)(coeffs, dom.w_fwd)
+    return _run_core(dom, coeffs, inverse=False)
 
 
 def intt_steps(dom: RnsDomain, evals):
-    x = _core_jit(dom.size)(evals, dom.w_inv)
+    x = _run_core(dom, evals, inverse=True)
+    if dom.fourstep is not None:  # four-step inverse folds 1/n already
+        return x
     return _scale_jit()(x, dom.size_inv)
 
 
 def coset_ntt_steps(dom: RnsDomain, coeffs):
     scaled = _scale_jit()(coeffs, dom.coset_pow)
-    return _core_jit(dom.size)(scaled, dom.w_fwd)
+    return _run_core(dom, scaled, inverse=False)
 
 
 def coset_intt_steps(dom: RnsDomain, evals):
-    x = _core_jit(dom.size)(evals, dom.w_inv)
+    x = _run_core(dom, evals, inverse=True)
+    if dom.fourstep is not None:
+        return _scale_jit()(x, dom.coset_inv_nofold)
     return _scale_jit()(x, dom.coset_inv_pow)

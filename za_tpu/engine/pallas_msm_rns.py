@@ -88,7 +88,8 @@ def _consts_np(g2: bool):
         b3_cols = [ctx.ints_to_rns([ctx.to_mont_int(9)])[:, 0]]
 
     cu35 = np.stack(
-        [ctx.p, ctx.eps, ctx.sub_off, ctx.sub_off8, ctx.one_rns] + b3_cols,
+        [ctx.p, ctx.eps, ctx.sub_off, ctx.sub_off8, ctx.one_rns,
+         ctx.sub_off64] + b3_cols,
         axis=1,
     ).astype(np.uint32)
 
@@ -137,7 +138,8 @@ class _KC:
         self.sub32 = c35[:, 2:3]
         self.sub8 = c35[:, 3:4]
         self.one = c35[:, 4:5]
-        self.b3 = (c35[:, 5:6], c35[:, 6:7]) if g2 else c35[:, 5:6]
+        self.sub64 = c35[:, 5:6]
+        self.b3 = (c35[:, 6:7], c35[:, 7:8]) if g2 else c35[:, 6:7]
         self.lamw1 = c17[:, 0:1]
         self.w2 = c17[:, 1:2]
         self.koff = c17[:, 2:3]
@@ -182,9 +184,12 @@ def _kmul(a, b, kc: _KC):
     t = _fold3(a * b, kc.eps, kc.p)
     t1, t2 = t[:KB], t[KB:]
     lam = _fold3(t1 * kc.lamw1, kc.eps[:KB], kc.p[:KB])
+    # Mosaic has no u32->f32 cast; lam < 2^16 so going through i32 is
+    # exact (Kawamura underestimate, delta in {0, 1})
+    lam_f = lam.astype(jnp.int32).astype(jnp.float32)
     alpha = jnp.floor(
-        jnp.sum(lam.astype(jnp.float32) * kc.rcp, axis=0, keepdims=True)
-    ).astype(jnp.int32)  # Kawamura underestimate, delta in {0, 1}
+        jnp.sum(lam_f * kc.rcp, axis=0, keepdims=True)
+    ).astype(jnp.int32)
     q = _kext(lam, kc.e1w0, kc.e1w1, kc.e1k, kc.red1, kc.p_t1, kc.eps_t1,
               alpha=alpha, m_mod=kc.m1_mod)
     r_t = _fold3(t2 * kc.m1inv, kc.eps_t1, kc.p_t1)
@@ -234,22 +239,33 @@ def _g1_kops(kc: _KC) -> ec.FieldOps:
 
 
 def _g2_kops(kc: _KC) -> ec.FieldOps:
-    """Fq2 over (c0, c1) plane pairs: schoolbook with the 8N offset on
-    the c0 cross-subtraction (bounds as in ec.make_g2_ops_rns)."""
+    """Fq2 over (c0, c1) plane pairs: KARATSUBA (3 mont muls vs the
+    schoolbook 4 -- the mont mul dominates the kernel's VPU work).
+
+    Bound audit (represented-integer bounds per (c0, c1) component,
+    mont contract < 512N per operand):
+      mul out: c0 = t0-t1 (8N off) < 12N; c1 = cross-t0-t1 (two 8N
+      offs) < 20N.  With the 64N subtraction offset the RCB dataflow
+      is stationary at coords X<(44,52)N, Y/Z<(24,40)N; negated Y
+      <(64,64)N; pre-mul coordinate sums < (108,116)N and Karatsuba
+      operand sums < 224N -- all inside the 512N contract.  The 64N
+      offset window covers every subtrahend (max a01-type = (24,40)N).
+    """
 
     def add(a, b):
         return (_kadd(a[0], b[0], kc), _kadd(a[1], b[1], kc))
 
     def sub(a, b):
-        return (_ksub(a[0], b[0], kc, kc.sub32),
-                _ksub(a[1], b[1], kc, kc.sub32))
+        return (_ksub(a[0], b[0], kc, kc.sub64),
+                _ksub(a[1], b[1], kc, kc.sub64))
 
     def mul(a, b):
-        t00 = _kmul(a[0], b[0], kc)
-        t01 = _kmul(a[0], b[1], kc)
-        t10 = _kmul(a[1], b[0], kc)
-        t11 = _kmul(a[1], b[1], kc)
-        return (_ksub(t00, t11, kc, kc.sub8), _kadd(t01, t10, kc))
+        t0 = _kmul(a[0], b[0], kc)
+        t1 = _kmul(a[1], b[1], kc)
+        cross = _kmul(_kadd(a[0], a[1], kc), _kadd(b[0], b[1], kc), kc)
+        c0 = _ksub(t0, t1, kc, kc.sub8)
+        c1 = _ksub(_ksub(cross, t0, kc, kc.sub8), t1, kc, kc.sub8)
+        return (c0, c1)
 
     def b3c(like):
         return (jnp.broadcast_to(kc.b3[0], like[0].shape),

@@ -180,6 +180,11 @@ class RnsContext:
         self.sub_off8 = np.array(
             [(8 * N) % p for p in primes], dtype=np.uint32
         )
+        # 64N offset: the Karatsuba-Fq2 G2 group law subtracts values
+        # whose c1 component reaches 40N (> the 32N default window)
+        self.sub_off64 = np.array(
+            [(64 * N) % p for p in primes], dtype=np.uint32
+        )
         # matmul-output reduction offset: p_j * ceil(2^27.5 / p_j)
         big = int(2 ** 27.5) + 1
         self.red_off = {

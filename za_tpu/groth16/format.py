@@ -22,7 +22,10 @@ from typing import BinaryIO
 
 from ..algebra import FS, AlgebraError
 from ..compiler.constraints import Constraints
-from ..curve import Fq2, G1Point, G2Point, Q, g1_is_on_curve, g2_is_on_curve
+from ..curve import (
+    Fq2, G1Point, G2Point, Q, g1_is_on_curve, g2_is_on_curve,
+    g2_is_in_subgroup,
+)
 from . import bincode
 from .r1cs import R1CS
 from .setup import Groth16Parameters, VerifyingKey
@@ -56,11 +59,20 @@ def g2_to_jstruct(p: G2Point) -> list[list[str]]:
 
 
 def g2_from_jstruct(j) -> G2Point:
+    """Checked G2 deserialization: on-curve AND r-subgroup.
+
+    BN254 G2 has a large cofactor, so an on-curve point need not lie in
+    the order-r subgroup -- a hostile proof B or vk point outside it is
+    exactly what checked deserialization rejects (the reference reads
+    with checks: Parameters::read(pk, true), format.rs:285).  G1 needs
+    no subgroup check: the BN254 G1 cofactor is 1."""
     x = Fq2(_parse_fq(j[0][0]), _parse_fq(j[0][1]))
     y = Fq2(_parse_fq(j[1][0]), _parse_fq(j[1][1]))
     p = (x, y)
     if not g2_is_on_curve(p):
         raise FormatError(f"bad g2 coordinates {j}")
+    if not g2_is_in_subgroup(p):
+        raise FormatError("g2 point not in the r-order subgroup")
     return p
 
 
@@ -171,7 +183,7 @@ def g2_to_bytes(p: G2Point) -> bytes:
     )
 
 
-def g2_from_bytes(b: bytes) -> G2Point:
+def g2_from_bytes(b: bytes, subgroup_check: bool = False) -> G2Point:
     if b[0] & 0x40:
         return None
     x = Fq2(int.from_bytes(b[32:64], "big"), int.from_bytes(b[0:32], "big"))
@@ -179,6 +191,8 @@ def g2_from_bytes(b: bytes) -> G2Point:
     p = (x, y)
     if not g2_is_on_curve(p):
         raise FormatError("g2 point not on curve")
+    if subgroup_check and not g2_is_in_subgroup(p):
+        raise FormatError("g2 point not in the r-order subgroup")
     return p
 
 
@@ -226,24 +240,33 @@ def write_parameters(f: BinaryIO, params: Groth16Parameters,
         f.write(g2_to_bytes(p))
 
 
-def read_parameters(f: BinaryIO) -> Groth16Parameters:
+def read_parameters(f: BinaryIO,
+                    checked: bool = False) -> Groth16Parameters:
+    """All points are on-curve-validated (and G1 is cofactor-1, so
+    on-curve implies subgroup); the VK-head G2 points are ALWAYS
+    r-subgroup-checked (cheap, and they are the verification-critical
+    material).  checked=True extends the subgroup check to the whole
+    b_g2 query vector -- the reference's Parameters::read(pk, true)
+    behavior (format.rs:285) at O(n) scalar-mul cost."""
+
     def g1v() -> list[G1Point]:
         n = _r_u32be(f)
         return [g1_from_bytes(f.read(64)) for _ in range(n)]
 
     alpha_g1 = g1_from_bytes(f.read(64))
     beta_g1 = g1_from_bytes(f.read(64))
-    beta_g2 = g2_from_bytes(f.read(128))
-    gamma_g2 = g2_from_bytes(f.read(128))
+    beta_g2 = g2_from_bytes(f.read(128), subgroup_check=True)
+    gamma_g2 = g2_from_bytes(f.read(128), subgroup_check=True)
     delta_g1 = g1_from_bytes(f.read(64))
-    delta_g2 = g2_from_bytes(f.read(128))
+    delta_g2 = g2_from_bytes(f.read(128), subgroup_check=True)
     ic = g1v()
     h = g1v()
     l = g1v()
     a = g1v()
     b_g1 = g1v()
     n = _r_u32be(f)
-    b_g2 = [g2_from_bytes(f.read(128)) for _ in range(n)]
+    b_g2 = [g2_from_bytes(f.read(128), subgroup_check=checked)
+            for _ in range(n)]
     trailer = f.read(4)
     if len(trailer) == 4:
         domain_size = struct.unpack(">I", trailer)[0]

@@ -165,19 +165,19 @@ def main():
     def padded(q):  # pre-pad so msm_g1_many shares one staged shape
         return q + [None] * (n_common - len(q))
 
-    sa = stage("stage_a", lambda: eng.stage_g1(padded(a_q)))
-    sb1 = eng.stage_g1(padded(b1_q))
-    sl = eng.stage_g1(padded(l_q))
-    sh = eng.stage_g1(padded(h_q))
-    sb2 = eng.stage_g2(b2_q)
+    s4 = stage("stage_g1x4", lambda: eng.stage_g1_stacked(
+        [padded(a_q), padded(b1_q), padded(l_q), padded(h_q)]))
+    n2 = _pad_pow2ish(len(b2_q))
+    sb2 = stage("stage_b2", lambda: eng.stage_g2_stacked(
+        [b2_q + [None] * (n2 - len(b2_q))]))
     z_l = F.ints_to_limbs(z)
     zaux_l = F.ints_to_limbs(z[r1cs.num_inputs:])
 
     def prove_compute():
         h = stage("h_coeffs", lambda: eng.h_coeffs_limbs(r1cs, z, domain))
         pa, pb1, pl, ph = stage("msm_g1x4", lambda: eng.msm_g1_many(
-            [sa, sb1, sl, sh], [z_l, z_l, zaux_l, h]))
-        pb2 = stage("msm_b2", lambda: eng.msm_g2_many([sb2], [z_l])[0])
+            s4, [z_l, z_l, zaux_l, h]))
+        pb2 = stage("msm_b2", lambda: eng.msm_g2_many(sb2, [z_l])[0])
         return pa, pb1, pl, ph, pb2
 
     t0 = time.time()

@@ -382,3 +382,31 @@ def test_device_setup_matches_host():
     assert p_dev.l == p_host.l
     assert p_dev.vk.ic == p_host.vk.ic
     assert p_dev.vk.alpha_g1 == p_host.vk.alpha_g1
+
+
+def test_stacked_staging_msm_matches_host():
+    """stage_g1_stacked / stage_g2_stacked + the pre-stacked msm path
+    (zero per-call staging) agree with the exact host engine."""
+    import jax.numpy as jnp
+
+    from za_tpu.groth16.prove import HostEngine
+
+    rng2 = random.Random(21)
+    n, M = 64, 2
+    pts = [g1_mul(G1_GEN, rng2.randrange(1, R)) for _ in range(n)]
+    scs = [[rng2.randrange(R) for _ in range(n)] for _ in range(M)]
+
+    eng = TpuEngine(msm_style="rns", lanes=16)
+    stacked = eng.stage_g1_stacked([pts, pts])
+    got = eng.msm_g1_many(stacked, scs)
+    host = HostEngine()
+    for i in range(M):
+        assert got[i] == host.msm_g1(pts, scs[i])
+
+    from za_tpu.curve import G2_GEN, g2_mul
+
+    pts2 = [g2_mul(G2_GEN, rng2.randrange(1, R)) for _ in range(16)]
+    pts2 = [pts2[i % 16] for i in range(n)]
+    st2 = eng.stage_g2_stacked([pts2])
+    got2 = eng.msm_g2_many(st2, [scs[0]])[0]
+    assert got2 == host.msm_g2(pts2, scs[0])

@@ -205,3 +205,33 @@ def test_b_g2_query_checked_mode():
     fmt.read_parameters(io.BytesIO(blob))  # unchecked: accepted
     with pytest.raises(fmt.FormatError, match="subgroup"):
         fmt.read_parameters(io.BytesIO(blob), checked=True)
+
+
+def test_raw_query_parse_matches_point_parse():
+    """read_parameters(raw_queries=True) + expand + to_points gives the
+    same query points as the per-point parse path."""
+    from za_tpu.groth16.r1cs import R1CS
+    from za_tpu.groth16.setup import expand_queries, generate_parameters
+
+    a_rows = [[(1, 1)], [(2, 3)]]
+    b_rows = [[(1, 1)], [(0, 5)]]
+    c_rows = [[(2, 1)], [(3, 1)]]
+    r1cs = R1CS(num_inputs=2, num_aux=2, input_names=["main.x"],
+                a_rows=a_rows, b_rows=b_rows, c_rows=c_rows,
+                var_of_signal=[])
+    params = generate_parameters(r1cs, tau=7, alpha=3, beta=5, gamma=11,
+                                 delta=13)
+    buf = io.BytesIO()
+    fmt.write_parameters(buf, params, densities=r1cs.densities())
+
+    plain = expand_queries(
+        fmt.read_parameters(io.BytesIO(buf.getvalue())), r1cs)
+    raw = expand_queries(
+        fmt.read_parameters(io.BytesIO(buf.getvalue()), raw_queries=True),
+        r1cs)
+    assert raw.h.to_points() == plain.h
+    assert raw.l.to_points() == plain.l
+    assert raw.a.to_points() == plain.a
+    assert raw.b_g1.to_points() == plain.b_g1
+    assert raw.b_g2.to_points() == plain.b_g2
+    assert raw.domain_size == plain.domain_size

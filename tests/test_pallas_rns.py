@@ -21,7 +21,11 @@ def _scalars(rng, m, n):
     return [[rng.randrange(R) for _ in range(n)] for _ in range(m)]
 
 
-@pytest.mark.parametrize("n,m,lanes", [(96, 2, 32), (64, 1, 64)])
+@pytest.mark.parametrize(
+    "n,m,lanes",
+    [(64, 1, 64),
+     pytest.param(96, 2, 32, marks=pytest.mark.slow)],
+)
 def test_pallas_g1_matches_host(n, m, lanes):
     rng = random.Random(7)
     pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
@@ -45,6 +49,7 @@ def test_pallas_g1_matches_host(n, m, lanes):
         assert got == host.msm_g1(pts, scs[i])
 
 
+@pytest.mark.slow
 def test_pallas_g1_matches_xla():
     rng = random.Random(11)
     n, m, lanes = 128, 2, 32
@@ -76,6 +81,7 @@ def test_pallas_g1_matches_xla():
         assert got == want
 
 
+@pytest.mark.slow
 def test_pallas_g2_matches_host():
     rng = random.Random(13)
     n, m, lanes = 64, 1, 32

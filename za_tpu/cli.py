@@ -43,6 +43,12 @@ def _engine(name: str, mesh: int = 0):
             raise SystemExit("--mesh requires --engine tpu")
         return None
     if name == "tpu":
+        # multi-host pods: ZA_DIST / JAX_COORDINATOR_ADDRESS connect
+        # the processes BEFORE any backend touch, so the mesh below
+        # spans all hosts (collectives ride ICI + DCN)
+        from .engine.dist import init_distributed
+
+        init_distributed()
         from .engine import TpuEngine
 
         return TpuEngine(mesh_devices=mesh or None)

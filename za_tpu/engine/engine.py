@@ -237,6 +237,205 @@ class TpuEngine:
             return ec.g2_points_to_rns(points)
         return ec.g2_points_to_device(points)
 
+    @staticmethod
+    def _g1_limb_coords(q, n_pad: int):
+        """Query (point list or format.RawG1Query) -> (x, y, z) numpy
+        (16, n_pad) u32 limb arrays, identity-padded."""
+        if hasattr(q, "x"):  # RawG1Query
+            k = len(q)
+            if k == n_pad:
+                return q.x, q.y, q.z
+            out = []
+            for name, a in (("x", q.x), ("y", q.y), ("z", q.z)):
+                b = np.zeros((F.NLIMBS, n_pad), np.uint32)
+                b[:, :k] = a
+                if name == "y":
+                    b[0, k:] = 1
+                out.append(b)
+            return tuple(out)
+        pts = list(q) + [None] * (n_pad - len(q))
+        xs = [0 if p is None else p[0] for p in pts]
+        ys = [1 if p is None else p[1] for p in pts]
+        zs = [0 if p is None else 1 for p in pts]
+        return tuple(F.ints_to_limbs(v) for v in (xs, ys, zs))
+
+    @staticmethod
+    def _g2_limb_coords(q, n_pad: int):
+        """-> (x0, x1, y0, y1, z0, z1) numpy (16, n_pad) u32."""
+        if hasattr(q, "x0"):  # RawG2Query
+            k = len(q)
+            arrs = [q.x0, q.x1, q.y0, q.y1, q.z0,
+                    np.zeros((F.NLIMBS, k), np.uint32)]
+            if k == n_pad:
+                return tuple(arrs)
+            out = []
+            for i, a in enumerate(arrs):
+                b = np.zeros((F.NLIMBS, n_pad), np.uint32)
+                b[:, :k] = a
+                if i == 2:  # y0 identity
+                    b[0, k:] = 1
+                out.append(b)
+            return tuple(out)
+        pts = list(q) + [None] * (n_pad - len(q))
+        x0 = [0 if p is None else p[0].c0 for p in pts]
+        x1 = [0 if p is None else p[0].c1 for p in pts]
+        y0 = [1 if p is None else p[1].c0 for p in pts]
+        y1 = [0 if p is None else p[1].c1 for p in pts]
+        z0 = [0 if p is None else 1 for p in pts]
+        z1 = [0] * len(pts)
+        return tuple(
+            F.ints_to_limbs(v) for v in (x0, x1, y0, y1, z0, z1)
+        )
+
+    def stage_g1_stacked(self, queries, curve_check: bool = False,
+                         n_pad: int | None = None):
+        """M G1 queries (point lists or RawG1Query limb arrays, padded
+        to the longest) -> ONE stacked device tree with leaves
+        (35, M, n) (rns) / (16, M, n) (limb) in the grouped-MSM layout:
+        msm_g1_many consumes it with zero per-call staging.
+
+        curve_check=True runs the batched on-device curve-membership
+        check (the raw pk parse skips per-point host checks)."""
+        n = n_pad or max(len(q) for q in queries)
+        M = len(queries)
+        coords = [self._g1_limb_coords(q, n) for q in queries]
+        big = [
+            np.concatenate([c[i] for c in coords], axis=1)
+            for i in range(3)
+        ]  # (16, M*n) each
+        if self.msm_style == "rns":
+            from . import rns as RNS
+
+            staged = tuple(
+                ec._limbs_to_rns_mont(b, RNS.RQ) for b in big
+            )
+        else:
+            staged = tuple(ec._to_mont_dev(jnp.asarray(b)) for b in big)
+        staged = jax.tree_util.tree_map(
+            lambda x: x.reshape(x.shape[:-1] + (M, n)), staged
+        )
+        if curve_check:
+            self._assert_g1_on_curve(staged)
+        return staged
+
+    def stage_g2_stacked(self, queries, curve_check: bool = False,
+                         n_pad: int | None = None):
+        n = n_pad or max(len(q) for q in queries)
+        M = len(queries)
+        coords = [self._g2_limb_coords(q, n) for q in queries]
+        pairs = []
+        for i in (0, 2, 4):  # (c0, c1) per coordinate
+            c0 = np.concatenate([c[i] for c in coords], axis=1)
+            c1 = np.concatenate([c[i + 1] for c in coords], axis=1)
+            pairs.append((c0, c1))
+        if self.msm_style == "rns":
+            from . import rns as RNS
+
+            def cv(c0, c1):
+                both = ec._limbs_to_rns_mont(
+                    np.concatenate([c0, c1], axis=1), RNS.RQ
+                )
+                k = c0.shape[1]
+                return jnp.stack([both[:, :k], both[:, k:]], axis=1)
+
+            staged = tuple(cv(c0, c1) for c0, c1 in pairs)
+            staged = jax.tree_util.tree_map(
+                lambda x: x.reshape(x.shape[:-1] + (M, n)), staged
+            )
+        else:
+            staged = tuple(
+                (ec._to_mont_dev(jnp.asarray(c0)),
+                 ec._to_mont_dev(jnp.asarray(c1)))
+                for c0, c1 in pairs
+            )
+            staged = jax.tree_util.tree_map(
+                lambda x: x.reshape(x.shape[:-1] + (M, n)), staged
+            )
+        if curve_check:
+            self._assert_g2_on_curve(staged)
+        return staged
+
+    # -- batched device curve-membership checks (checked deser at
+    #    array speed; the Raw*Query pk parse defers to these) ---------
+
+    def _assert_g1_on_curve(self, staged):
+        from . import rns as RNS
+
+        if self.msm_style != "rns":
+            return  # limb staging comes from host-parsed (checked) points
+        ctx = RNS.RQ
+        fn = self._jit_cache.get(("curve_check", "g1"))
+        if fn is None:
+
+            def fn_(X, Y, Z):
+                y2z = RNS.mont_mul_rns(
+                    RNS.mont_mul_rns(Y, Y, ctx), Z, ctx
+                )
+                x3 = RNS.mont_mul_rns(
+                    RNS.mont_mul_rns(X, X, ctx), X, ctx
+                )
+                z3 = RNS.mont_mul_rns(
+                    RNS.mont_mul_rns(Z, Z, ctx), Z, ctx
+                )
+                z3_3 = RNS.ch_add(RNS.ch_add(z3, z3, ctx), z3, ctx)
+                rhs = RNS.ch_add(x3, z3_3, ctx)          # < 16N
+                d = RNS.ch_sub_off(y2z, rhs, ctx)        # == 0 mod q
+                plain = RNS.from_mont_rns(d, ctx)
+                limbs = RNS.rns_to_limbs_exact(
+                    plain, ctx, nlimbs=16, reduce_mod=ctx.modulus
+                )
+                return jnp.all(limbs == 0)
+
+            fn = jax.jit(fn_)
+            self._jit_cache[("curve_check", "g1")] = fn
+        if not bool(fn(*staged)):
+            from ..groth16.format import FormatError
+
+            raise FormatError("pk g1 query point not on curve")
+
+    def _assert_g2_on_curve(self, staged):
+        from . import rns as RNS
+        from ..curve import B2, Q as QMOD
+
+        if self.msm_style != "rns":
+            return
+        ctx = RNS.RQ
+        fn = self._jit_cache.get(("curve_check", "g2"))
+        if fn is None:
+            ops = ec.make_g2_ops_rns()
+            b2c = np.stack(
+                [
+                    ctx.ints_to_rns([ctx.to_mont_int(B2.c0 % QMOD)])[:, 0],
+                    ctx.ints_to_rns([ctx.to_mont_int(B2.c1 % QMOD)])[:, 0],
+                ],
+                axis=1,
+            )  # (35, 2)
+
+            def fn_(X, Y, Z):
+                y2z = ops.mul(ops.mul(Y, Y), Z)
+                x3 = ops.mul(ops.mul(X, X), X)
+                z3 = ops.mul(ops.mul(Z, Z), Z)
+                shape = (RNS.N_CH, 2) + (1,) * (X.ndim - 2)
+                bz3 = ops.mul(
+                    z3, jnp.broadcast_to(
+                        jnp.asarray(b2c).reshape(shape), z3.shape
+                    ),
+                )
+                rhs = RNS.ch_add(x3, bz3, ctx)
+                d = RNS.ch_sub_off(y2z, rhs, ctx)
+                plain = RNS.from_mont_rns(d, ctx)
+                limbs = RNS.rns_to_limbs_exact(
+                    plain, ctx, nlimbs=16, reduce_mod=ctx.modulus
+                )
+                return jnp.all(limbs == 0)
+
+            fn = jax.jit(fn_)
+            self._jit_cache[("curve_check", "g2")] = fn
+        if not bool(fn(*staged)):
+            from ..groth16.format import FormatError
+
+            raise FormatError("pk g2 query point not on curve")
+
     def stage_params(self, params, r1cs):
         """Stage the pk query vectors (a / b_g1 / l / h / b_g2) onto the
         device ONCE per process, cached on the params object: repeat
@@ -244,8 +443,9 @@ class TpuEngine:
         (the reference reloads the pk per prove, helper.rs:92-98; a
         deployed prover holds it in HBM).
 
-        The four G1 queries are padded to one power-of-two length so
-        they share a single compiled grouped-MSM kernel."""
+        The four G1 queries are padded to one power-of-two length and
+        staged as a single pre-stacked (35, 4, n) tree, so every prove
+        dispatches the grouped MSM kernel directly on resident HBM."""
         key = (self.msm_style, self._mesh_d)
         cached = getattr(params, "_staged_cache", None)
         if cached is not None and cached[0] == key:
@@ -261,17 +461,30 @@ class TpuEngine:
         def padded(q):
             return list(q) + [None] * (n_common - len(q))
 
-        staged = {
-            "a": self.stage_g1(padded(params.a)),
-            "b_g1": self.stage_g1(padded(params.b_g1)),
-            "l": self.stage_g1(padded(params.l)),
-            "h": self.stage_g1(padded(params.h)),
-            "b_g2": self.stage_g2(
-                list(params.b_g2)
-                + [None] * (_pad_pow2ish(len(params.b_g2))
-                            - len(params.b_g2))
-            ),
-        }
+        def padded_q(q):
+            if hasattr(q, "expand"):  # Raw*Query: padding in staging
+                return q
+            return padded(q)
+
+        # raw-parsed queries skipped the per-point host curve check;
+        # run the batched device check instead (checked-deser parity)
+        raw = hasattr(params.a, "x") or hasattr(params.b_g2, "x0")
+        n2 = _pad_pow2ish(len(params.b_g2))
+        b2q = params.b_g2
+        if not hasattr(b2q, "expand"):
+            b2q = list(b2q) + [None] * (n2 - len(b2q))
+        with _StageTimer("stage.g1x4") as st:
+            g1x4 = self.stage_g1_stacked(
+                [padded_q(params.a), padded_q(params.b_g1),
+                 padded_q(params.l), padded_q(params.h)],
+                curve_check=raw, n_pad=n_common,
+            )
+            st.done(g1x4)
+        with _StageTimer("stage.b_g2") as st:
+            b_g2x = self.stage_g2_stacked([b2q], curve_check=raw,
+                                          n_pad=n2)
+            st.done(b_g2x)
+        staged = {"g1x4": g1x4, "b_g2x": b_g2x}
         params._staged_cache = (key, staged)
         return staged
 
@@ -343,10 +556,12 @@ class TpuEngine:
                     self._jit_cache[key] = jax.jit(run)
                     return self._jit_cache[key]
 
-                # lanes capped at 128: L=256 graphs re-trigger the
-                # XLA:TPU miscompile family seen with nested-tuple G2
-                # (bench shows corrupted residues at lanes=256; 128 is
-                # verified against the host golden model)
+                # lanes capped at 128: L=256 graphs re-triggered the
+                # XLA:TPU miscompile family in the round-3 toolchain
+                # (corrupted residues). tools/repro_lanes256.py no
+                # longer reproduces it on the current toolchain, but
+                # the clamp stays: 128 measures within noise of 256
+                # and the Pallas kernel is the production path anyway
                 def run(points, scalars):
                     return MSM.msm_signed_dense(
                         points, scalars, ops,
@@ -375,6 +590,12 @@ class TpuEngine:
 
     def _msm_many(self, kind: str, points_list, scalars_list):
         is_g2 = kind == "g2"
+        if isinstance(points_list, tuple):
+            # pre-stacked staged tree (stage_g1_stacked): leaves
+            # already (rows, [2,] M, n) -- zero per-call staging
+            return self._msm_many_stacked(
+                kind, points_list, scalars_list
+            )
         M = len(points_list)
         # tiny MSMs: exact host arithmetic (device offload buys nothing
         # below ~512 points, and small-shape graphs are where the
@@ -439,16 +660,42 @@ class TpuEngine:
             X, Y, Z = st.done(
                 self._grouped_jit(kind, M, n, c, lanes)(points, scalars)
             )
+        return self._msm_unstage(kind, X, Y, Z, M)
+
+    def _msm_many_stacked(self, kind: str, points, scalars_list):
+        """Grouped MSM over a pre-stacked staged tree: only the scalar
+        upload and the kernel dispatch happen per call."""
+        is_g2 = kind == "g2"
+        leaf = jax.tree_util.tree_leaves(points)[0]
+        M, n = leaf.shape[-2], leaf.shape[-1]
+        assert len(scalars_list) == M, "one scalar vector per query"
+        with _StageTimer(f"msm.{kind}.scalars") as st:
+            devs = [self._scalars_limbs(s, n) for s in scalars_list]
+            scalars = st.done(
+                jnp.stack([jnp.asarray(s) for s in devs], axis=1)
+            )
+        c, lanes = MSM.auto_params_grouped(n, M, is_g2=is_g2)
+        if self.window is not None:
+            c = self.window
+        if self.lanes is not None:
+            lanes = self.lanes
+        with _StageTimer(f"msm.{kind}.kernel[n={n},M={M}]") as st:
+            X, Y, Z = st.done(
+                self._grouped_jit(kind, M, n, c, lanes)(points, scalars)
+            )
+        return self._msm_unstage(kind, X, Y, Z, M)
+
+    def _msm_unstage(self, kind: str, X, Y, Z, M: int):
+        is_g2 = kind == "g2"
         if self.msm_style == "rns":
+            Xn, Yn, Zn = np.asarray(X), np.asarray(Y), np.asarray(Z)
             if is_g2:
-                Xn, Yn, Zn = np.asarray(X), np.asarray(Y), np.asarray(Z)
                 return [
                     ec.g2_point_from_rns(
                         Xn[:, :, i], Yn[:, :, i], Zn[:, :, i]
                     )
                     for i in range(M)
                 ]
-            Xn, Yn, Zn = np.asarray(X), np.asarray(Y), np.asarray(Z)
             return [
                 ec.g1_point_from_rns(Xn[:, i], Yn[:, i], Zn[:, i])
                 for i in range(M)

@@ -196,6 +196,145 @@ def g2_from_bytes(b: bytes, subgroup_check: bool = False) -> G2Point:
     return p
 
 
+# -- raw (vectorized) query parsing -------------------------------------------
+# Query vectors dominate pk size (millions of points at 2^20); parsing
+# them point-by-point through Python ints with per-point curve checks
+# costs minutes. The raw path slices the byte stream straight into
+# (16, n) u16-limb numpy arrays (one frombuffer + byteswap view); the
+# curve-membership check moves onto the device at staging time
+# (TpuEngine.stage_params), keeping checked-deserialization parity
+# with Parameters::read(pk, true) at array speed.
+
+
+class RawG1Query:
+    """G1 query vector as projective limb arrays: x/y/z (16, n) u32,
+    infinity slots encoded as (0 : 1 : 0)."""
+
+    def __init__(self, x, y, z):
+        self.x, self.y, self.z = x, y, z
+
+    def __len__(self):
+        return self.x.shape[1]
+
+    def expand(self, dense) -> "RawG1Query":
+        import numpy as np
+
+        if len(self) == len(dense):
+            return self
+        if len(self) != int(np.sum(dense)):
+            raise FormatError("query length matches neither num_vars "
+                              "nor density count")
+        n = len(dense)
+        x = np.zeros((16, n), np.uint32)
+        y = np.zeros((16, n), np.uint32)
+        y[0] = 1
+        z = np.zeros((16, n), np.uint32)
+        idx = np.nonzero(np.asarray(dense, dtype=bool))[0]
+        x[:, idx] = self.x
+        y[:, idx] = self.y
+        z[:, idx] = self.z
+        return RawG1Query(x, y, z)
+
+    def to_points(self) -> list:
+        from ..engine.ec import limbs_to_ints_fast
+
+        xs = limbs_to_ints_fast(self.x)
+        ys = limbs_to_ints_fast(self.y)
+        infs = self.z[0] == 0
+        return [
+            None if infs[j] else (xs[j], ys[j]) for j in range(len(self))
+        ]
+
+
+class RawG2Query:
+    """G2 query vector as flat-Fq2 projective limb arrays: x0/x1/y0/y1
+    (16, n) u32 (+ implicit z = (1, 0) or identity)."""
+
+    def __init__(self, x0, x1, y0, y1, z0):
+        self.x0, self.x1, self.y0, self.y1, self.z0 = x0, x1, y0, y1, z0
+
+    def __len__(self):
+        return self.x0.shape[1]
+
+    def expand(self, dense) -> "RawG2Query":
+        import numpy as np
+
+        if len(self) == len(dense):
+            return self
+        if len(self) != int(np.sum(dense)):
+            raise FormatError("query length matches neither num_vars "
+                              "nor density count")
+        n = len(dense)
+        arrs = {k: np.zeros((16, n), np.uint32)
+                for k in ("x0", "x1", "y0", "y1", "z0")}
+        arrs["y0"][0] = 1
+        idx = np.nonzero(np.asarray(dense, dtype=bool))[0]
+        for k in arrs:
+            arrs[k][:, idx] = getattr(self, k)
+        return RawG2Query(**arrs)
+
+    def to_points(self) -> list:
+        from ..engine.ec import limbs_to_ints_fast
+
+        x0 = limbs_to_ints_fast(self.x0)
+        x1 = limbs_to_ints_fast(self.x1)
+        y0 = limbs_to_ints_fast(self.y0)
+        y1 = limbs_to_ints_fast(self.y1)
+        infs = self.z0[0] == 0
+        return [
+            None if infs[j] else (Fq2(x0[j], x1[j]), Fq2(y0[j], y1[j]))
+            for j in range(len(self))
+        ]
+
+
+def _read_g1_vec_raw(f: BinaryIO) -> RawG1Query:
+    import numpy as np
+
+    n = _r_u32be(f)
+    buf = f.read(64 * n)
+    if len(buf) != 64 * n:
+        raise FormatError("truncated g1 query vector")
+    if n == 0:
+        return RawG1Query(*(np.zeros((16, 0), np.uint32),) * 3)
+    raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, 64)
+    inf = (raw[:, 0] & 0x40) != 0
+    # 32-byte BE coords -> little-endian u16 limb rows
+    u16 = np.frombuffer(buf, dtype=">u2").reshape(n, 2, 16)[:, :, ::-1]
+    x = np.ascontiguousarray(u16[:, 0].T).astype(np.uint32)
+    y = np.ascontiguousarray(u16[:, 1].T).astype(np.uint32)
+    x[:, inf] = 0
+    y[:, inf] = 0
+    y[0, inf] = 1
+    z = np.zeros((16, n), np.uint32)
+    z[0] = (~inf).astype(np.uint32)
+    return RawG1Query(x, y, z)
+
+
+def _read_g2_vec_raw(f: BinaryIO) -> RawG2Query:
+    import numpy as np
+
+    n = _r_u32be(f)
+    buf = f.read(128 * n)
+    if len(buf) != 128 * n:
+        raise FormatError("truncated g2 query vector")
+    if n == 0:
+        return RawG2Query(*(np.zeros((16, 0), np.uint32),) * 5)
+    raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, 128)
+    inf = (raw[:, 0] & 0x40) != 0
+    u16 = np.frombuffer(buf, dtype=">u2").reshape(n, 4, 16)[:, :, ::-1]
+    # wire order: x.c1, x.c0, y.c1, y.c0
+    x1 = np.ascontiguousarray(u16[:, 0].T).astype(np.uint32)
+    x0 = np.ascontiguousarray(u16[:, 1].T).astype(np.uint32)
+    y1 = np.ascontiguousarray(u16[:, 2].T).astype(np.uint32)
+    y0 = np.ascontiguousarray(u16[:, 3].T).astype(np.uint32)
+    for a in (x0, x1, y0, y1):
+        a[:, inf] = 0
+    y0[0, inf] = 1
+    z0 = np.zeros((16, n), np.uint32)
+    z0[0] = (~inf).astype(np.uint32)
+    return RawG2Query(x0, x1, y0, y1, z0)
+
+
 # -- bellman-layout parameters section ----------------------------------------
 
 
@@ -240,14 +379,18 @@ def write_parameters(f: BinaryIO, params: Groth16Parameters,
         f.write(g2_to_bytes(p))
 
 
-def read_parameters(f: BinaryIO,
-                    checked: bool = False) -> Groth16Parameters:
+def read_parameters(f: BinaryIO, checked: bool = False,
+                    raw_queries: bool = False) -> Groth16Parameters:
     """All points are on-curve-validated (and G1 is cofactor-1, so
     on-curve implies subgroup); the VK-head G2 points are ALWAYS
     r-subgroup-checked (cheap, and they are the verification-critical
     material).  checked=True extends the subgroup check to the whole
     b_g2 query vector -- the reference's Parameters::read(pk, true)
-    behavior (format.rs:285) at O(n) scalar-mul cost."""
+    behavior (format.rs:285) at O(n) scalar-mul cost.
+
+    raw_queries=True parses the h/l/a/b_g1/b_g2 vectors as Raw*Query
+    limb arrays (vectorized, no per-point Python); their curve check
+    then happens batched on device at engine staging time."""
 
     def g1v() -> list[G1Point]:
         n = _r_u32be(f)
@@ -260,13 +403,20 @@ def read_parameters(f: BinaryIO,
     delta_g1 = g1_from_bytes(f.read(64))
     delta_g2 = g2_from_bytes(f.read(128), subgroup_check=True)
     ic = g1v()
-    h = g1v()
-    l = g1v()
-    a = g1v()
-    b_g1 = g1v()
-    n = _r_u32be(f)
-    b_g2 = [g2_from_bytes(f.read(128), subgroup_check=checked)
-            for _ in range(n)]
+    if raw_queries:
+        h = _read_g1_vec_raw(f)
+        l = _read_g1_vec_raw(f)
+        a = _read_g1_vec_raw(f)
+        b_g1 = _read_g1_vec_raw(f)
+        b_g2 = _read_g2_vec_raw(f)
+    else:
+        h = g1v()
+        l = g1v()
+        a = g1v()
+        b_g1 = g1v()
+        n = _r_u32be(f)
+        b_g2 = [g2_from_bytes(f.read(128), subgroup_check=checked)
+                for _ in range(n)]
     trailer = f.read(4)
     if len(trailer) == 4:
         domain_size = struct.unpack(">I", trailer)[0]
@@ -328,7 +478,7 @@ def write_pk(
     write_parameters(f, params, densities=densities)
 
 
-def read_pk(f: BinaryIO) -> ProvingKey:
+def read_pk(f: BinaryIO, raw_queries: bool = False) -> ProvingKey:
     n = _r_u32be(f)
     asts = bincode.deserialize_asts(f.read(n))
 
@@ -341,7 +491,7 @@ def read_pk(f: BinaryIO) -> ProvingKey:
     count = _r_u32be(f)
     ignore_signals = [_r_u32be(f) for _ in range(count)]
 
-    params = read_parameters(f)
+    params = read_parameters(f, raw_queries=raw_queries)
     return ProvingKey(asts, constraints, ignore_signals, params)
 
 

@@ -104,8 +104,18 @@ def prove(
         TraceMismatch, TraceRecorder, WitnessProgram, pk_digest,
     )
 
+    # engines with device staging read the query vectors as raw limb
+    # arrays (vectorized parse; batched on-device curve check at
+    # staging) -- minutes faster than per-point Python at 1M points
+    raw = (
+        engine is not None
+        and hasattr(engine, "stage_params")
+        and getattr(engine, "use_grouped", False)
+    )
+    start = time.monotonic()
     with open(proving_key_path, "rb") as f:
-        pk = fmt.read_pk(f)
+        pk = fmt.read_pk(f, raw_queries=raw)
+    log.info("Proving key read time: %.3fs", time.monotonic() - start)
 
     use_wtrace = use_wtrace and os.environ.get("ZA_WTRACE", "1") != "0"
     wtrace_path = proving_key_path + ".wtrace"

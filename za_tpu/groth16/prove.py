@@ -75,6 +75,23 @@ class HostEngine:
         return h[: m - 1]
 
 
+def _materialize_raw(params: Groth16Parameters) -> Groth16Parameters:
+    """Raw*Query limb-array queries (fast pk parse, format.py) -> host
+    point lists, for engine paths that consume Python points."""
+    if not hasattr(params.a, "to_points"):
+        return params
+    from dataclasses import replace
+
+    return replace(
+        params,
+        h=params.h.to_points(),
+        l=params.l.to_points(),
+        a=params.a.to_points(),
+        b_g1=params.b_g1.to_points(),
+        b_g2=params.b_g2.to_points(),
+    )
+
+
 def prove(
     params: Groth16Parameters,
     r1cs: R1CS,
@@ -115,13 +132,13 @@ def prove(
         staged = engine.stage_params(params, r1cs)
         z_l = _F.ints_to_limbs([v % R for v in z])
         a_acc, b_acc_g1, l_acc, h_acc = engine.msm_g1_many(
-            [staged["a"], staged["b_g1"], staged["l"], staged["h"]],
-            [z_l, z_l, z_l[:, ni:], h],
+            staged["g1x4"], [z_l, z_l, z_l[:, ni:], h],
         )
-        b_acc_g2 = engine.msm_g2_many([staged["b_g2"]], [z_l])[0]
+        b_acc_g2 = engine.msm_g2_many(staged["b_g2x"], [z_l])[0]
     elif hasattr(engine, "msm_g1_many") and getattr(engine, "use_grouped",
                                                     False):
         params = expand_queries(params, r1cs)  # undo pk density filtering
+        params = _materialize_raw(params)
         # one grouped window-parallel kernel for the four G1 MSMs
         a_acc, b_acc_g1, l_acc, h_acc = engine.msm_g1_many(
             [params.a, params.b_g1, params.l, params.h],
@@ -130,6 +147,7 @@ def prove(
         b_acc_g2 = engine.msm_g2(params.b_g2, z)
     else:
         params = expand_queries(params, r1cs)  # undo pk density filtering
+        params = _materialize_raw(params)
         a_acc = engine.msm_g1(params.a, z)
         b_acc_g2 = engine.msm_g2(params.b_g2, z)
         b_acc_g1 = engine.msm_g1(params.b_g1, z)

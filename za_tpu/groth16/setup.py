@@ -82,6 +82,8 @@ def expand_queries(params: Groth16Parameters, r1cs: R1CS) -> Groth16Parameters:
     a_d, b_d = r1cs.densities()
 
     def expand(vec, dense):
+        if hasattr(vec, "expand"):  # Raw*Query limb arrays (format.py)
+            return vec.expand(dense)
         if len(vec) == len(dense):
             return vec
         if len(vec) != sum(dense):

@@ -101,6 +101,11 @@ def witness_bench(log2n: int) -> dict:
 
 
 def main():
+    if os.environ.get("ZA_METRICS", "0") != "0":
+        import logging
+
+        logging.basicConfig(level=logging.INFO, format="# %(message)s",
+                            stream=sys.stderr)
     log2n = int(os.environ.get("ZA_BENCH_LOG2N", "13"))
     lanes = os.environ.get("ZA_BENCH_LANES")
     lanes = int(lanes) if lanes else None
@@ -170,8 +175,10 @@ def main():
     n2 = _pad_pow2ish(len(b2_q))
     sb2 = stage("stage_b2", lambda: eng.stage_g2_stacked(
         [b2_q + [None] * (n2 - len(b2_q))]))
-    z_l = F.ints_to_limbs(z)
-    zaux_l = F.ints_to_limbs(z[r1cs.num_inputs:])
+    # one witness upload shared by h/sat/MSM (same path helper.prove
+    # uses); the aux slice stays on device
+    z_l = eng.witness_limbs_dev(z)
+    zaux_l = z_l[:, r1cs.num_inputs:]
 
     def prove_compute():
         h = stage("h_coeffs", lambda: eng.h_coeffs_limbs(r1cs, z, domain))

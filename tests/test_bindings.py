@@ -43,3 +43,61 @@ def test_python3_binding_surface():
         sys.path.pop(0)
     for fn in ("setup", "prove", "verify", "verbose"):
         assert callable(getattr(za2py, fn))
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_flutter_binding_compiles():
+    """The Flutter shim is plain C ABI over za2c.h: build it as a
+    shared object so the source cannot rot (reference ships a built
+    mobile library; this is the compile probe for it)."""
+    out = os.path.join(REPO, "bindings", "flutter", "libza2flutter_ci.so")
+    proc = subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", out,
+         os.path.join(REPO, "bindings", "flutter", "za2flutter.cpp")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    os.remove(out)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_js_binding_compile_probe():
+    """node-gyp is absent on this image; compile-probe the N-API addon
+    against the vendored declaration stub so the C++ source stays
+    buildable (real builds: binding.gyp + genuine node headers).
+    Mirrors the reference's runnable js smoke (binding/js/test/test.js)
+    at the fidelity the image allows."""
+    proc = subprocess.run(
+        ["g++", "-fsyntax-only", "-std=c++17",
+         "-I", os.path.join(REPO, "bindings", "js", "ci_stub"),
+         os.path.join(REPO, "bindings", "js", "za2node.cc")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
+@pytest.mark.skipif(shutil.which("node") is None
+                    or shutil.which("node-gyp") is None,
+                    reason="no node toolchain")
+def test_js_binding_smoke():
+    """Full node-gyp build + test.js (reference binding/js/test)."""
+    jsdir = os.path.join(REPO, "bindings", "js")
+    build = subprocess.run(["node-gyp", "rebuild"], cwd=jsdir,
+                           capture_output=True, text=True, timeout=600)
+    assert build.returncode == 0, build.stdout + build.stderr
+    run = subprocess.run(["node", "test.js"], cwd=jsdir,
+                         capture_output=True, text=True, timeout=600,
+                         env={**os.environ, "PYTHONPATH": REPO})
+    assert run.returncode == 0, run.stdout + run.stderr
+
+
+@pytest.mark.skipif(shutil.which("go") is None, reason="no go toolchain")
+def test_go_binding_smoke():
+    """go vet + the reference-style smoke (binding/go/test/test.go):
+    requires libza2c built first."""
+    subprocess.run(["make", "-C", CDIR, "libza2c.so"], check=True,
+                   timeout=600, env={**os.environ, "PYTHONPATH": REPO})
+    godir = os.path.join(REPO, "bindings", "go")
+    proc = subprocess.run(["go", "vet", "."], cwd=godir,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -356,14 +356,20 @@ _l2r_jit = None
 
 def _limbs_to_rns_mont(limbs, ctx):
     """(16, n) plain limb values -> (35, n) Montgomery RNS residues,
-    on device (matmul conversion + one RNS mul by M1^2)."""
+    on device (matmul conversion + one RNS mul by M1^2). Host arrays
+    upload as u16 (limbs are 16-bit digits; halves h2d volume on the
+    tunneled backend) and widen on device."""
     global _l2r_jit
     from . import rns as RNS
 
     if _l2r_jit is None:
         _l2r_jit = jax.jit(
-            lambda a: RNS.to_mont_rns(RNS.limbs_to_rns(a, RNS.RQ), RNS.RQ)
+            lambda a: RNS.to_mont_rns(
+                RNS.limbs_to_rns(a.astype(jnp.uint32), RNS.RQ), RNS.RQ
+            )
         )
+    if isinstance(limbs, np.ndarray) and limbs.dtype != np.uint16:
+        limbs = limbs.astype(np.uint16)
     return _l2r_jit(jnp.asarray(limbs))
 
 

@@ -307,16 +307,28 @@ def _kernel(g2: bool, L: int, B: int, ncoord: int, *refs):
     kc = _KC(refs[:N_CONST], g2)
     pt_refs = refs[N_CONST:N_CONST + ncoord]
     d_ref = refs[N_CONST + ncoord]
-    out_refs = refs[N_CONST + ncoord + 1:]
+    out_refs = refs[N_CONST + ncoord + 1:ncoord + N_CONST + 1 + ncoord]
+    tab_refs = refs[N_CONST + 2 * ncoord + 1:]
     c = pl.program_id(1)
     kops = _g2_kops(kc) if g2 else _g1_kops(kc)
 
-    # chunk points -> {1P .. 8P} multiples at (35, L)
+    # chunk points -> {1P .. 8P} multiples at (35, L), built with ONE
+    # point-add instantiation (fori_loop over the table scratch --
+    # keeps the Mosaic program ~4x smaller than unrolling, which cuts
+    # both compile time and the per-process executable-load cost)
     planes = [r[:][0, 0] for r in pt_refs]
     P = _point_of(planes, g2)
-    tabs = [P]
-    for _ in range(7):
-        tabs.append(ec.point_add(tabs[-1], P, kops))
+    for r, v in zip(tab_refs, planes):
+        r[0] = v
+
+    def build_body(k, _):
+        cur = _point_of([r[k] for r in tab_refs], g2)
+        new = ec.point_add(cur, P, kops)
+        for r, v in zip(tab_refs, _planes_of(new, g2)):
+            r[k + 1] = v
+        return 0
+
+    jax.lax.fori_loop(0, 7, build_body, 0)
 
     d = d_ref[:][0, 0].astype(jnp.int32)  # (1, B) signed digits
     ad = jnp.abs(d)
@@ -326,11 +338,17 @@ def _kernel(g2: bool, L: int, B: int, ncoord: int, *refs):
             x = jnp.concatenate([x, x], axis=1)
         return x
 
-    sel = jax.tree_util.tree_map(expand, tabs[0])
-    for k in range(2, 9):
-        ek = jax.tree_util.tree_map(expand, tabs[k - 1])
-        sel = _twhere(ad == k, ek, sel)
-    X, Y, Z = sel
+    def sel_body(k, sel_planes):
+        cond = ad == k + 1
+        return [
+            jnp.where(cond, expand(r[k]), s)
+            for r, s in zip(tab_refs, sel_planes)
+        ]
+
+    sel_planes = jax.lax.fori_loop(
+        1, 8, sel_body, [expand(r[0]) for r in tab_refs]
+    )
+    X, Y, Z = _point_of(sel_planes, g2)
     negY = kops.sub(jax.tree_util.tree_map(jnp.zeros_like, Y), Y)
     sel = (X, _twhere(d < 0, negY, Y), Z)
 
@@ -424,6 +442,7 @@ def msm_signed_dense_pallas(points, scalars, ops, lanes: int = 128,
         in_specs=const_specs + [pt_spec] * ncoord + [d_spec],
         out_specs=[out_spec] * ncoord,
         out_shape=[out_shape] * ncoord,
+        scratch_shapes=[pltpu.VMEM((8, NCH, L), jnp.uint32)] * ncoord,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),

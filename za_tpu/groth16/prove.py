@@ -130,7 +130,10 @@ def prove(
         from ..engine import field as _F
 
         staged = engine.stage_params(params, r1cs)
-        z_l = _F.ints_to_limbs([v % R for v in z])
+        if hasattr(engine, "witness_limbs_dev"):
+            z_l = engine.witness_limbs_dev(z)  # one upload, shared
+        else:
+            z_l = _F.ints_to_limbs([v % R for v in z])
         a_acc, b_acc_g1, l_acc, h_acc = engine.msm_g1_many(
             staged["g1x4"], [z_l, z_l, z_l[:, ni:], h],
         )

@@ -135,13 +135,17 @@ def main():
     t0 = time.time()
     rng = random.Random(5)
 
+    # pool sizes are PRIME (not a power-of-two divisor): the tree MSM's
+    # fold-half pairing would otherwise pair equal base points, which
+    # its incomplete affine adds exclude by contract (real pk points
+    # are all distinct; see engine/msm_tree.py)
     def g1s(k):
-        base = [g1_mul(G1_GEN, rng.randrange(1, 1 << 62)) for _ in range(64)]
-        return [base[i % 64] for i in range(k)]
+        base = [g1_mul(G1_GEN, rng.randrange(1, 1 << 62)) for _ in range(67)]
+        return [base[i % 67] for i in range(k)]
 
     def g2s(k):
-        base = [g2_mul(G2_GEN, rng.randrange(1, 1 << 62)) for _ in range(16)]
-        return [base[i % 16] for i in range(k)]
+        base = [g2_mul(G2_GEN, rng.randrange(1, 1 << 62)) for _ in range(19)]
+        return [base[i % 19] for i in range(k)]
 
     nv = r1cs.num_vars
     m = domain.size
@@ -165,16 +169,32 @@ def main():
     import za_tpu.engine.field as F
     from za_tpu.engine.engine import _pad_pow2ish
 
-    n_common = _pad_pow2ish(max(len(a_q), len(b1_q), len(l_q), len(h_q)))
-
-    def padded(q):  # pre-pad so msm_g1_many shares one staged shape
-        return q + [None] * (n_common - len(q))
-
-    s4 = stage("stage_g1x4", lambda: eng.stage_g1_stacked(
-        [padded(a_q), padded(b1_q), padded(l_q), padded(h_q)]))
     n2 = _pad_pow2ish(len(b2_q))
-    sb2 = stage("stage_b2", lambda: eng.stage_g2_stacked(
-        [b2_q + [None] * (n2 - len(b2_q))]))
+    n_abl = _pad_pow2ish(max(len(a_q), len(b1_q), len(l_q)))
+    use_tree = (
+        getattr(eng, "msm_tree", False) and n_abl >= eng._tree_min
+    )
+    if use_tree:
+        # batch-affine tree staging (the production prove layout):
+        # a/b1/l share one table group, h gets its own
+        s_abl = stage("stage_tree_g1abl", lambda: eng.stage_g1_affine(
+            [a_q, b1_q, l_q], n_pad=n_abl))
+        s_h = stage("stage_tree_g1h", lambda: eng.stage_g1_affine(
+            [h_q], n_pad=_pad_pow2ish(len(h_q))))
+        sb2 = stage("stage_tree_b2", lambda: eng.stage_g2_affine(
+            [b2_q], n_pad=n2))
+    else:
+        n_common = _pad_pow2ish(
+            max(len(a_q), len(b1_q), len(l_q), len(h_q))
+        )
+
+        def padded(q):  # pre-pad so msm_g1_many shares one staged shape
+            return q + [None] * (n_common - len(q))
+
+        s4 = stage("stage_g1x4", lambda: eng.stage_g1_stacked(
+            [padded(a_q), padded(b1_q), padded(l_q), padded(h_q)]))
+        sb2 = stage("stage_b2", lambda: eng.stage_g2_stacked(
+            [b2_q + [None] * (n2 - len(b2_q))]))
     # one witness upload shared by h/sat/MSM (same path helper.prove
     # uses); the aux slice stays on device
     z_l = eng.witness_limbs_dev(z)
@@ -182,8 +202,13 @@ def main():
 
     def prove_compute():
         h = stage("h_coeffs", lambda: eng.h_coeffs_limbs(r1cs, z, domain))
-        pa, pb1, pl, ph = stage("msm_g1x4", lambda: eng.msm_g1_many(
-            s4, [z_l, z_l, zaux_l, h]))
+        if use_tree:
+            pa, pb1, pl = stage("msm_g1abl", lambda: eng.msm_g1_many(
+                s_abl, [z_l, z_l, zaux_l]))
+            ph = stage("msm_g1h", lambda: eng.msm_g1_many(s_h, [h])[0])
+        else:
+            pa, pb1, pl, ph = stage("msm_g1x4", lambda: eng.msm_g1_many(
+                s4, [z_l, z_l, zaux_l, h]))
         pb2 = stage("msm_b2", lambda: eng.msm_g2_many(sb2, [z_l])[0])
         return pa, pb1, pl, ph, pb2
 

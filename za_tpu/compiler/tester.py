@@ -89,27 +89,59 @@ def write_binwitness(path: str, signals: Signals) -> None:
             f.write(sig.value.v.write_256_w32())
 
 
+def render_span(src: str, start: int, end: int, file: str,
+                label: str = "", context: int = 1) -> str:
+    """codespan-style labeled source span (reference renders spans with
+    codespan-reporting, tester/report.rs:28-57): gutter with line
+    numbers, the byte span underlined with carets, a label on the
+    underline, +-`context` surrounding lines."""
+    end = max(end, start + 1)
+    lines = src.split("\n")
+    # line/column (0-based) of a byte offset
+    starts = []
+    off = 0
+    for ln in lines:
+        starts.append(off)
+        off += len(ln) + 1
+    import bisect
+
+    l0 = bisect.bisect_right(starts, start) - 1
+    l1 = bisect.bisect_right(starts, min(end - 1, len(src))) - 1
+    c0 = start - starts[l0]
+    width = len(str(min(l1 + context, len(lines) - 1) + 1))
+    gut = " " * width
+    out = [f"{gut}┌─ {file}:{l0 + 1}:{c0 + 1}", f"{gut}│"]
+    lo = max(0, l0 - context)
+    hi = min(len(lines), l1 + 1 + context)
+    for i in range(lo, hi):
+        out.append(f"{i + 1:>{width}} │ {lines[i]}")
+        if l0 <= i <= l1:
+            a = start - starts[i] if i == l0 else 0
+            b = (min(end - starts[i], len(lines[i]))
+                 if i == l1 else len(lines[i]))
+            carets = " " * a + "^" * max(b - a, 1)
+            tag = f" {label}" if label and i == l1 else ""
+            out.append(f"{gut} │ {carets}{tag}")
+    out.append(f"{gut}│")
+    return "\n".join(out)
+
+
 def dump_error(eval: Evaluator, err: str) -> None:
-    """Render the captured error context (reference: tester/report.rs)."""
-    print(f"❌ {err}")
+    """Render the captured error context with a labeled source span
+    (reference: tester/report.rs codespan rendering)."""
+    print(f"❌ error: {err}")
     ctx = eval.last_error
     if ctx is None:
         return
-    print(f"  file: {ctx.file}")
-    print(f"  component: {ctx.component}")
-    if ctx.function:
-        print(f"  function: {ctx.function}")
-    print(f"  at offset {ctx.meta.start}..{ctx.meta.end}")
-    # source span rendering
     try:
         with open(ctx.file) as f:
             src = f.read()
-        line_no = src[: ctx.meta.start].count("\n")
-        lines = src.split("\n")
-        lo = max(0, line_no - 2)
-        hi = min(len(lines), line_no + 3)
-        for i in range(lo, hi):
-            marker = ">>" if i == line_no else "  "
-            print(f"  {marker} {i + 1:4} | {lines[i]}")
+        print(render_span(src, ctx.meta.start, ctx.meta.end, ctx.file,
+                          label="failure here"))
     except OSError:
+        print(f"  file: {ctx.file}")
+        print(f"  at offset {ctx.meta.start}..{ctx.meta.end}")
         print(ctx.scope)
+    print(f"  = component: {ctx.component}")
+    if ctx.function:
+        print(f"  = function: {ctx.function}")

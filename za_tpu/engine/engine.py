@@ -173,6 +173,26 @@ class TpuEngine:
             or msm_style == "rns"
             or self.mesh is not None
         )
+        # batch-affine tree MSM (engine/msm_tree): ~6 Montgomery muls
+        # per point-add vs 14 for complete projective RCB.  The pure
+        # XLA formulation measures ~225M muls/s against ~900M for the
+        # fused Pallas dense kernel (HBM-bound -- tools/profile_tree2),
+        # so despite 2.3x fewer muls it is slower end-to-end: opt-in
+        # (ZA_MSM_TREE=1) until the tree levels are Pallas-fused.
+        import os as _os
+
+        self.msm_tree = (
+            msm_style == "rns"
+            and self.mesh is None
+            and _os.environ.get("ZA_MSM_TREE", "0") == "1"
+        )
+        # below this many points the fused Pallas dense kernel wins
+        # (the tree's fixed costs -- per-level batch-inversion tails,
+        # the projective fold -- dominate small MSMs; measured
+        # crossover ~2^15, tools/profile_tree.py)
+        self._tree_min = int(
+            _os.environ.get("ZA_TREE_MIN", str(1 << 15))
+        )
         self._domains: dict[int, NTT.DeviceDomain] = {}
         self._jit_cache: dict = {}
 
@@ -355,6 +375,152 @@ class TpuEngine:
             self._assert_g2_on_curve(staged)
         return staged
 
+    # -- batch-affine tree staging (engine/msm_tree) -----------------
+
+    def stage_g1_affine(self, queries, n_pad: int | None = None,
+                        curve_check: bool = False,
+                        chunk: int | None = None,
+                        block: int = 1 << 16):
+        """M G1 queries -> chunked u16 affine {1P..8P} tables for the
+        batch-affine tree MSM.  Staged block-wise so the projective
+        form never materializes whole (1120 B/point resident)."""
+        from . import msm_tree as MT, rns as RNS
+
+        n = n_pad or max(len(q) for q in queries)
+        S = min(chunk or (1 << 15), _pad_pow2ish(n))
+        C = -(-n // S)
+        total = C * S
+        coords = [self._g1_limb_coords(q, total) for q in queries]
+        M = len(queries)
+        if block % S:
+            block = S * max(block // S, 1)
+        xs, ys = [], []
+        for lo in range(0, total, block):
+            hi = min(lo + block, total)
+            big = [
+                np.concatenate([c[i][:, lo:hi] for c in coords], axis=1)
+                for i in range(3)
+            ]
+            staged = tuple(
+                ec._limbs_to_rns_mont(b, RNS.RQ).reshape(
+                    RNS.N_CH, M, hi - lo
+                )
+                for b in big
+            )
+            if curve_check:
+                self._assert_g1_on_curve(staged)
+            ax, ay = MT.build_tables_block(staged, is_g2=False)
+            xs.append(ax)
+            ys.append(ay)
+        return MT.chunkify_tables(xs, ys, C, S, n, is_g2=False)
+
+    def stage_g2_affine(self, queries, n_pad: int | None = None,
+                        curve_check: bool = False,
+                        chunk: int | None = None,
+                        block: int = 1 << 15):
+        from . import msm_tree as MT, rns as RNS
+
+        n = n_pad or max(len(q) for q in queries)
+        S = min(chunk or (1 << 15), _pad_pow2ish(n))
+        C = -(-n // S)
+        total = C * S
+        coords = [self._g2_limb_coords(q, total) for q in queries]
+        M = len(queries)
+        if block % S:
+            block = S * max(block // S, 1)
+        xs, ys = [], []
+        for lo in range(0, total, block):
+            hi = min(lo + block, total)
+            blk = hi - lo
+
+            def cv(i):
+                c0 = np.concatenate(
+                    [c[i][:, lo:hi] for c in coords], axis=1
+                )
+                c1 = np.concatenate(
+                    [c[i + 1][:, lo:hi] for c in coords], axis=1
+                )
+                both = ec._limbs_to_rns_mont(
+                    np.concatenate([c0, c1], axis=1), RNS.RQ
+                )
+                k = M * blk
+                pair = jnp.stack([both[:, :k], both[:, k:]], axis=1)
+                return pair.reshape(RNS.N_CH, 2, M, blk)
+
+            staged = tuple(cv(i) for i in (0, 2, 4))
+            if curve_check:
+                self._assert_g2_on_curve(staged)
+            ax, ay = MT.build_tables_block(staged, is_g2=True)
+            xs.append(ax)
+            ys.append(ay)
+        return MT.chunkify_tables(xs, ys, C, S, n, is_g2=True)
+
+    def _tree_jit(self, kind: str, C: int, S: int, M: int):
+        key = ("tree", kind, C, S, M)
+        if key not in self._jit_cache:
+            from . import msm_tree as MT
+
+            is_g2 = kind == "g2"
+            ops = (
+                ec.make_g2_ops_rns() if is_g2 else ec.make_g1_ops_rns()
+            )
+            fused = (not is_g2) and jax.default_backend() == "tpu"
+            if fused:
+                from . import pallas_tree as PT
+
+                def run(tx, ty, scalars):
+                    tabs = MT.AffineTables(
+                        tx=tx, ty=ty, n=0, is_g2=False
+                    )
+                    return PT.msm_tree_fused(tabs, scalars, ops)
+            else:
+                def run(tx, ty, scalars):
+                    tabs = MT.AffineTables(
+                        tx=tx, ty=ty, n=0, is_g2=is_g2
+                    )
+                    return MT.msm_affine_tree(tabs, scalars, ops)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _msm_many_tree(self, kind: str, tabs, scalars_list):
+        """Grouped MSM over staged affine tables: scalar upload +
+        one jitted tree-MSM dispatch."""
+        C, S, M = tabs.chunks, tabs.chunk_cols, tabs.m
+        n_pad = C * S
+        assert len(scalars_list) == M, "one scalar vector per query"
+        with _StageTimer(f"msm.{kind}.scalars") as st:
+            dev_map: dict = {}
+            devs = []
+            for s in scalars_list:
+                if isinstance(s, jnp.ndarray):
+                    devs.append(s)
+                    continue
+                k = id(s)
+                if k not in dev_map:
+                    dev_map[k] = self.witness_limbs_dev(s)
+                devs.append(dev_map[k])
+            shapes = tuple(a.shape for a in devs)
+            key = ("padstack", shapes, n_pad)
+            fn = self._jit_cache.get(key)
+            if fn is None:
+
+                def fn_(*arrs):
+                    padded = [
+                        jnp.pad(a, ((0, 0), (0, n_pad - a.shape[1])))
+                        for a in arrs
+                    ]
+                    return jnp.stack(padded, axis=1)
+
+                fn = jax.jit(fn_)
+                self._jit_cache[key] = fn
+            scalars = st.done(fn(*devs))
+        with _StageTimer(f"msm.{kind}.tree[C={C},S={S},M={M}]") as st:
+            X, Y, Z = st.done(
+                self._tree_jit(kind, C, S, M)(tabs.tx, tabs.ty, scalars)
+            )
+        return self._msm_unstage(kind, X, Y, Z, M)
+
     # -- batched device curve-membership checks (checked deser at
     #    array speed; the Raw*Query pk parse defers to these) ---------
 
@@ -446,7 +612,7 @@ class TpuEngine:
         The four G1 queries are padded to one power-of-two length and
         staged as a single pre-stacked (35, 4, n) tree, so every prove
         dispatches the grouped MSM kernel directly on resident HBM."""
-        key = (self.msm_style, self._mesh_d)
+        key = (self.msm_style, self._mesh_d, self.msm_tree)
         cached = getattr(params, "_staged_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -473,6 +639,39 @@ class TpuEngine:
         b2q = params.b_g2
         if not hasattr(b2q, "expand"):
             b2q = list(b2q) + [None] * (n2 - len(b2q))
+        n_abl = _pad_pow2ish(
+            max(len(params.a), len(params.b_g1), len(params.l))
+        )
+        if self.msm_tree and n_abl >= self._tree_min:
+            # batch-affine tree staging: a/b_g1/l share one table
+            # group at their own size; h (the ~2x-longer domain
+            # query) gets its own -- no padding the short queries up
+            # to the h length
+            with _StageTimer("stage.tree.g1abl") as st:
+                g1abl = self.stage_g1_affine(
+                    [params.a, params.b_g1, params.l],
+                    n_pad=n_abl, curve_check=raw,
+                )
+                st.done(g1abl.tx)
+            with _StageTimer("stage.tree.g1h") as st:
+                g1h = self.stage_g1_affine(
+                    [params.h],
+                    n_pad=_pad_pow2ish(len(params.h)),
+                    curve_check=raw,
+                )
+                st.done(g1h.tx)
+            with _StageTimer("stage.tree.b_g2") as st:
+                # G2 stays on the fused dense Pallas kernel: the tree
+                # is only fused for G1 so far (pallas_tree.py), and
+                # the XLA tree formulation is slower than the dense
+                # kernel (tools/profile_tree2.py)
+                b_g2x = self.stage_g2_stacked(
+                    [b2q], curve_check=raw, n_pad=n2
+                )
+                st.done(b_g2x)
+            staged = {"g1abl": g1abl, "g1h": g1h, "b_g2x": b_g2x}
+            params._staged_cache = (key, staged)
+            return staged
         with _StageTimer("stage.g1x4") as st:
             g1x4 = self.stage_g1_stacked(
                 [padded_q(params.a), padded_q(params.b_g1),
@@ -589,6 +788,10 @@ class TpuEngine:
         return self._jit_cache[key]
 
     def _msm_many(self, kind: str, points_list, scalars_list):
+        from . import msm_tree as MT
+
+        if isinstance(points_list, MT.AffineTables):
+            return self._msm_many_tree(kind, points_list, scalars_list)
         is_g2 = kind == "g2"
         if isinstance(points_list, tuple):
             # pre-stacked staged tree (stage_g1_stacked): leaves

@@ -1,0 +1,419 @@
+"""Pallas-fused batch-affine tree MSM levels (G1).
+
+engine/msm_tree.py established the algorithm: signed radix-16 digit
+selection from staged affine tables, then per-window binary-tree
+summation with affine adds whose inversions amortize through
+Montgomery's batch trick (~6 muls per add vs 14 for complete
+projective RCB).  Its pure-XLA formulation measures ~225M mont muls/s
+against ~900M for the fused Pallas dense kernel (HBM-bound between
+ops, tools/profile_tree2.py), so the tree only wins fused.
+
+This module fuses one TREE LEVEL as three small Mosaic kernels, run
+for every level of every column-chunk under one lax.scan (each level
+compiles once):
+
+  A  (grid M, W, T): per-tile lane-chain partial products of the
+     denominators x2 - x1 -- 128 independent chains per tile, one
+     (35, 128) total per tile.
+  N  (single cell): inversion of ALL tile totals: forward lane-chain
+     scan over the concatenated totals, ONE in-kernel Fermat
+     exponentiation on the final (35, 128) running product (~77 us --
+     the same inversion costs ~9 ms as narrow XLA ops, which is what
+     killed the per-level XLA path), backward scan emitting each
+     total's inverse.
+  B  (grid M, W, T): rebuilds the forward prefixes in VMEM scratch,
+     walks backward to per-element denominator inverses, and applies
+     the affine addition (lam = (y2-y1)/(x2-x1), x3 = lam^2-x1-x2,
+     y3 = lam(x1-x3)-y1) with infinity-flag resolution; emits the
+     halved level as u16 residue planes.
+
+Pairing is FOLD-HALF (element i pairs with i + n/2) so every kernel
+touches only contiguous, statically-sliced column ranges -- no
+gathers, no traced reshapes (Mosaic constraints, see pallas_msm_rns).
+Bound discipline follows msm_tree._level_plan exactly; the per-level
+subtraction offsets arrive as a (35, 5) constant input.
+
+The field arithmetic reuses pallas_msm_rns's kernel-side RNS library
+(_KC/_kmul/_kadd/_ksub) -- bounds and Mosaic workarounds identical.
+
+Replaces bellman_ce's multiexp (SURVEY.md section 2.3) together with
+msm_tree.py as the large-n G1 MSM path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ec, msm as MSM, msm_tree as MT, rns as RNS
+from . import pallas_msm_rns as PK
+
+NCH = RNS.N_CH
+WIN = MT.WIN
+HALF = MT.HALF
+NC = PK.N_CONST  # leading shared constant inputs
+LANE = 128
+LMAX = 2048      # tile columns per grid cell
+
+
+# -- per-level constant offsets ----------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _level_offs(bx: int, by: int, reset: bool) -> np.ndarray:
+    """(35, 5) u32 columns: den, num, x3, w, y3 subtraction offsets
+    (k*N mod p per channel), mirroring msm_tree._affine_level."""
+    N = RNS.RQ.modulus
+    ks = [bx, by, 2 * bx, (4 + 4) if reset else (4 + 2 * bx), by]
+    return np.stack(
+        [MT._off_vec(k, N) for k in ks], axis=1
+    ).astype(np.uint32)
+
+
+def _fermat_digits() -> np.ndarray:
+    """MSB-first 4-bit windows of q-2 (first window handled apart)."""
+    e = RNS.RQ.modulus - 2
+    digits = []
+    while e:
+        digits.append(e & 15)
+        e >>= 4
+    digits.reverse()
+    return np.array(digits, dtype=np.int32)
+
+
+# -- kernel bodies ------------------------------------------------------------
+
+
+def _den_slice(kc, offs, x1r, x2r, i1r, i2r, j):
+    """(35, 128) guarded denominator for lane-slice j."""
+    sl = pl.ds(j * LANE, LANE)
+    x1 = x1r[0, 0, :, sl].astype(jnp.uint32)
+    x2 = x2r[0, 0, :, sl].astype(jnp.uint32)
+    den = PK._ksub(x2, x1, kc, offs[:, 0:1])
+    either = (i1r[0, 0, :, sl] | i2r[0, 0, :, sl]) != 0
+    one = jnp.broadcast_to(kc.one, den.shape)
+    return jnp.where(either, one, den)
+
+
+def _a_kernel(L, *refs):
+    """Per-tile lane-chain products of the denominators."""
+    kc = PK._KC(refs[:NC], False)
+    offs = refs[NC][:]
+    x1r, x2r, i1r, i2r = refs[NC + 1:NC + 5]
+    outr = refs[NC + 5]
+    run = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
+    for j in range(L // LANE):
+        run = PK._kmul(run, _den_slice(kc, offs, x1r, x2r, i1r, i2r, j),
+                       kc)
+    outr[0, 0] = run
+
+
+def _n_kernel(steps, *refs):
+    """Invert the concatenated tile totals: fwd lane-chain scan with
+    prefixes staged in the out ref, one Fermat on the (35, 128) grand
+    total, bwd scan emitting inverses."""
+    kc = PK._KC(refs[:NC], False)
+    dig_r = refs[NC]          # (1, ndig) i32 fermat windows
+    in_r = refs[NC + 1]       # (NCH, steps*128) u32
+    out_r = refs[NC + 2]      # (NCH, steps*128) u32
+    tab_r = refs[NC + 3]      # scratch (16, NCH, LANE)
+
+    def fwd(j, run):
+        sl = pl.ds(j * LANE, LANE)
+        out_r[:, sl] = run            # exclusive prefix
+        return PK._kmul(run, in_r[:, sl], kc)
+
+    one = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
+    total = jax.lax.fori_loop(0, steps, fwd, one)
+
+    # Fermat x^(q-2) on (35, 128): 4-bit windows, table in scratch
+    tab_r[0] = total
+    for k in range(1, 16):
+        tab_r[k] = PK._kmul(tab_r[k - 1], total, kc)
+    ndig = dig_r.shape[1]
+    d0 = dig_r[0, 0]
+    acc0 = tab_r[pl.ds(d0 - 1, 1)][0]
+
+    def fstep(i, acc):
+        acc = PK._kmul(acc, acc, kc)
+        acc = PK._kmul(acc, acc, kc)
+        acc = PK._kmul(acc, acc, kc)
+        acc = PK._kmul(acc, acc, kc)
+        d = dig_r[0, i]
+        t = tab_r[pl.ds(jnp.maximum(d - 1, 0), 1)][0]
+        return jnp.where(d > 0, PK._kmul(acc, t, kc), acc)
+
+    tinv = jax.lax.fori_loop(1, ndig, fstep, acc0)
+
+    def bwd(i, carry):
+        j = steps - 1 - i
+        sl = pl.ds(j * LANE, LANE)
+        pre = out_r[:, sl]
+        t = in_r[:, sl]
+        out_r[:, sl] = PK._kmul(carry, pre, kc)
+        return PK._kmul(carry, t, kc)
+
+    jax.lax.fori_loop(0, steps, bwd, tinv)
+
+
+def _b_kernel(L, reset, *refs):
+    """Backward per-element inverses + the affine addition."""
+    kc = PK._KC(refs[:NC], False)
+    offs = refs[NC][:]
+    x1r, x2r, y1r, y2r, i1r, i2r, tinv_r = refs[NC + 1:NC + 8]
+    x3r, y3r, i3r = refs[NC + 8:NC + 11]
+    pre_r = refs[NC + 11]  # scratch (NCH, L) u32: fwd prefixes
+
+    steps = L // LANE
+
+    def fwd(j, run):
+        sl = pl.ds(j * LANE, LANE)
+        pre_r[:, sl] = run
+        return PK._kmul(
+            run, _den_slice(kc, offs, x1r, x2r, i1r, i2r, j), kc
+        )
+
+    one = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
+    jax.lax.fori_loop(0, steps, fwd, one)
+
+    carry0 = tinv_r[0, 0, 0]  # (NCH, LANE): this tile's chain inverses
+
+    def bwd(i, carry):
+        j = steps - 1 - i
+        sl = pl.ds(j * LANE, LANE)
+        den = _den_slice(kc, offs, x1r, x2r, i1r, i2r, j)
+        dinv = PK._kmul(carry, pre_r[:, sl], kc)
+        carry = PK._kmul(carry, den, kc)
+
+        x1 = x1r[0, 0, :, sl].astype(jnp.uint32)
+        x2 = x2r[0, 0, :, sl].astype(jnp.uint32)
+        y1 = y1r[0, 0, :, sl].astype(jnp.uint32)
+        y2 = y2r[0, 0, :, sl].astype(jnp.uint32)
+        i1 = i1r[0, 0, :, sl]
+        i2 = i2r[0, 0, :, sl]
+
+        num = PK._ksub(y2, y1, kc, offs[:, 1:2])
+        lam = PK._kmul(num, dinv, kc)
+        t = PK._kmul(lam, lam, kc)
+        sx = PK._kadd(x1, x2, kc)
+        x3 = PK._ksub(t, sx, kc, offs[:, 2:3])
+        if reset:
+            x3 = PK._kmul(x3, jnp.broadcast_to(kc.one, x3.shape), kc)
+        w = PK._ksub(x1, x3, kc, offs[:, 3:4])
+        u = PK._kmul(lam, w, kc)
+        y3 = PK._ksub(u, y1, kc, offs[:, 4:5])
+
+        b1 = i1 != 0
+        b2 = i2 != 0
+        x3 = jnp.where(b1, x2, jnp.where(b2, x1, x3))
+        y3 = jnp.where(b1, y2, jnp.where(b2, y1, y3))
+        x3r[0, 0, :, sl] = x3.astype(jnp.uint16)
+        y3r[0, 0, :, sl] = y3.astype(jnp.uint16)
+        i3r[0, 0, :, sl] = i1 & i2
+        return carry
+
+    jax.lax.fori_loop(0, steps, bwd, carry0)
+
+
+# -- level driver -------------------------------------------------------------
+
+
+def _consts():
+    return [jnp.asarray(a) for a in PK._consts_np(False)]
+
+
+def _cspecs():
+    return [pl.BlockSpec(memory_space=pltpu.VMEM)] * NC
+
+
+def tree_level(x, y, inf, bx: int, by: int, reset: bool,
+               interpret: bool = False):
+    """One fold-half affine tree level.
+
+    x, y: (M, W, 35, n) uint16; inf: (M, W, 35, n) uint16 flags
+    (broadcast across the channel axis so every ref shares one
+    tiling).  Returns the halved (x3, y3, inf3)."""
+    M, W, _, n = x.shape
+    half = n // 2
+    L = min(LMAX, half)
+    T = half // L
+    assert T * L == half, (n, L)
+    offs = jnp.asarray(_level_offs(bx, by, reset))
+    consts = _consts()
+
+    def tile(col_block):
+        return pl.BlockSpec(
+            (1, 1, NCH, L), lambda m, w, t, cb=col_block:
+            (m, w, 0, t + cb), memory_space=pltpu.VMEM,
+        )
+
+    off_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    tot = pl.pallas_call(
+        functools.partial(_a_kernel, L),
+        grid=(M, W, T),
+        in_specs=_cspecs() + [off_spec] + [tile(0), tile(T), tile(0),
+                                           tile(T)],
+        out_specs=pl.BlockSpec(
+            (1, 1, NCH, LANE), lambda m, w, t: (m, w, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, W, NCH, T * LANE),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(*consts, offs, x, x, inf, inf)
+
+    flat = tot.transpose(2, 0, 1, 3).reshape(NCH, M * W * T * LANE)
+    dig = jnp.asarray(_fermat_digits()[None])
+    steps = M * W * T
+    inv = pl.pallas_call(
+        functools.partial(_n_kernel, steps),
+        in_specs=_cspecs() + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((16, NCH, LANE), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, dig, flat)
+    invb = inv.reshape(NCH, M, W, T, LANE).transpose(1, 2, 3, 0, 4)
+    # (M, W, T, NCH, LANE): tile (m, w, t) reads its own chain block
+
+    u16 = jnp.uint16
+    x3, y3, i3 = pl.pallas_call(
+        functools.partial(_b_kernel, L, reset),
+        grid=(M, W, T),
+        in_specs=_cspecs() + [off_spec] + [
+            tile(0), tile(T), tile(0), tile(T), tile(0), tile(T),
+            pl.BlockSpec(
+                (1, 1, 1, NCH, LANE), lambda m, w, t: (m, w, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[pl.BlockSpec(
+            (1, 1, NCH, L), lambda m, w, t: (m, w, 0, t),
+            memory_space=pltpu.VMEM,
+        )] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((M, W, NCH, half), u16),
+            jax.ShapeDtypeStruct((M, W, NCH, half), u16),
+            jax.ShapeDtypeStruct((M, W, NCH, half), u16),
+        ],
+        scratch_shapes=[pltpu.VMEM((NCH, L), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, offs, x, x, y, y, inf, inf, invb)
+    return x3, y3, i3
+
+
+# -- selection + full-chunk pipeline -----------------------------------------
+
+
+def _select_chunk(tabx, taby, d):
+    """XLA digit selection into the kernel level-0 state.
+
+    tabx/taby: (8, 35, M, S) u16; d: (W, M, S) int8 ->
+    x, y, inf: (M, W, 35, S) u16."""
+    ctx = RNS.RQ
+    ad = jnp.abs(d.astype(jnp.int32))       # (W, M, S)
+    admw = jnp.moveaxis(ad, 0, 1)[:, :, None, :]   # (M, W, 1, S)
+
+    def pick(tab):
+        t = jnp.moveaxis(tab.astype(jnp.uint32), 2, 1)  # (8, M, 35, S)
+        exp = t[:, :, None]                  # (8, M, 1, 35, S)
+        sel = exp[0]                         # broadcasts up in the wheres
+        for k in range(2, HALF + 1):
+            sel = jnp.where(admw == k, exp[k - 1], sel)
+        return sel                           # (M, W, 35, S)
+
+    sx = pick(tabx)
+    sy = pick(taby)
+    neg = jnp.moveaxis(d, 0, 1)[:, :, None, :] < 0
+    off8 = MT._off_vec(8, ctx.modulus)
+    p = ctx.p
+    yn = jnp.asarray(off8)[None, None, :, None] + \
+        jnp.asarray(p)[None, None, :, None] - sy
+    yn = jnp.where(yn >= jnp.asarray(p)[None, None, :, None],
+                   yn - jnp.asarray(p)[None, None, :, None], yn)
+    sy = jnp.where(neg, yn, sy)
+    inf = jnp.broadcast_to(admw == 0, sx.shape)
+    return (sx.astype(jnp.uint16), sy.astype(jnp.uint16),
+            inf.astype(jnp.uint16))
+
+
+def msm_tree_fused(tables: MT.AffineTables, scalars, ops,
+                   interpret: bool = False, min_kernel: int = 128):
+    """M same-size G1 MSMs with Pallas-fused affine tree levels.
+
+    tables: chunked u16 affine tables (msm_tree.AffineTables, G1)
+    scalars: (16, M, n_pad) u32 plain-form limbs
+    Returns (X, Y, Z) leaves (35, M) -- same contract as
+    msm_signed_dense."""
+    assert not tables.is_g2, "fused tree path is G1 (G2: dense kernel)"
+    C, S, M = tables.chunks, tables.chunk_cols, tables.m
+    n_pad = C * S
+    plan = MT._level_plan(32, False)
+
+    if scalars.shape[-1] < n_pad:
+        scalars = jnp.pad(
+            scalars, ((0, 0),) * (scalars.ndim - 1)
+            + ((0, n_pad - scalars.shape[-1]),)
+        )
+    d = MSM.signed_digits(scalars, 4).astype(jnp.int8)
+    d = jnp.moveaxis(d.reshape(WIN, M, C, S), 2, 0)  # (C, W, M, S)
+
+    # tables arrive (C, 8, 35, M, S)
+    tail = max(min_kernel, 128)  # kernels need >= 128 pair columns
+
+    def chunk_partials(tabx, taby, dg):
+        x, y, inf = _select_chunk(tabx, taby, dg)
+        lvl = 0
+        n_k = S
+        while n_k > tail:
+            bx, by, reset = plan[lvl]
+            x, y, inf = tree_level(x, y, inf, bx, by, reset,
+                                   interpret=interpret)
+            n_k //= 2
+            lvl += 1
+        # remaining per-window partials go projective (no narrow XLA
+        # batch inversions -- those cost ~10 ms each in dispatch-priced
+        # ops, the reason the XLA tree lost)
+        fld = MT.FqAdapter()
+        xc = jnp.moveaxis(x, 2, 0).astype(jnp.uint32)  # (35, M, W, n_k)
+        yc = jnp.moveaxis(y, 2, 0).astype(jnp.uint32)
+        ic = inf[:, :, 0, :] != 0                      # (M, W, n_k)
+        return MT._proj_of_affine(xc, yc, ic, fld, ops)
+
+    def scan_body(carry, xs):
+        tabx, taby, dg = xs
+        part = chunk_partials(tabx, taby, dg)
+        return ec.point_add(carry, part, ops), None
+
+    first = chunk_partials(tables.tx[0], tables.ty[0], d[0])
+    if C > 1:
+        acc, _ = jax.lax.scan(
+            scan_body, first, (tables.tx[1:], tables.ty[1:], d[1:])
+        )
+    else:
+        acc = first
+
+    T = min(S, tail)
+    if T > 1:
+        acc = MSM.lane_fold(acc, ops, T)
+    else:
+        acc = jax.tree_util.tree_map(lambda a: a[..., 0], acc)
+    wsum = jax.tree_util.tree_map(
+        lambda a: jnp.swapaxes(a, -1, -2), acc
+    )
+    return MSM.horner_windows(wsum, ops, False, 4)

@@ -134,9 +134,15 @@ def prove(
             z_l = engine.witness_limbs_dev(z)  # one upload, shared
         else:
             z_l = _F.ints_to_limbs([v % R for v in z])
-        a_acc, b_acc_g1, l_acc, h_acc = engine.msm_g1_many(
-            staged["g1x4"], [z_l, z_l, z_l[:, ni:], h],
-        )
+        if "g1abl" in staged:  # batch-affine tree staging: h separate
+            a_acc, b_acc_g1, l_acc = engine.msm_g1_many(
+                staged["g1abl"], [z_l, z_l, z_l[:, ni:]],
+            )
+            h_acc = engine.msm_g1_many(staged["g1h"], [h])[0]
+        else:
+            a_acc, b_acc_g1, l_acc, h_acc = engine.msm_g1_many(
+                staged["g1x4"], [z_l, z_l, z_l[:, ni:], h],
+            )
         b_acc_g2 = engine.msm_g2_many(staged["b_g2x"], [z_l])[0]
     elif hasattr(engine, "msm_g1_many") and getattr(engine, "use_grouped",
                                                     False):

@@ -176,13 +176,14 @@ def main():
     )
     if use_tree:
         # batch-affine tree staging (the production prove layout):
-        # a/b1/l share one table group, h gets its own
+        # a/b1/l share one table group, h gets its own; chunk-aligned
+        # padding (no pow2 doubling)
         s_abl = stage("stage_tree_g1abl", lambda: eng.stage_g1_affine(
-            [a_q, b1_q, l_q], n_pad=n_abl))
+            [a_q, b1_q, l_q]))
         s_h = stage("stage_tree_g1h", lambda: eng.stage_g1_affine(
-            [h_q], n_pad=_pad_pow2ish(len(h_q))))
-        sb2 = stage("stage_tree_b2", lambda: eng.stage_g2_affine(
-            [b2_q], n_pad=n2))
+            [h_q]))
+        sb2 = stage("stage_tree_b2", lambda: eng.stage_g2_stacked(
+            [b2_q + [None] * (n2 - len(b2_q))]))
     else:
         n_common = _pad_pow2ish(
             max(len(a_q), len(b1_q), len(l_q), len(h_q))

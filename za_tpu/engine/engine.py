@@ -173,18 +173,20 @@ class TpuEngine:
             or msm_style == "rns"
             or self.mesh is not None
         )
-        # batch-affine tree MSM (engine/msm_tree): ~6 Montgomery muls
-        # per point-add vs 14 for complete projective RCB.  The pure
-        # XLA formulation measures ~225M muls/s against ~900M for the
-        # fused Pallas dense kernel (HBM-bound -- tools/profile_tree2),
-        # so despite 2.3x fewer muls it is slower end-to-end: opt-in
-        # (ZA_MSM_TREE=1) until the tree levels are Pallas-fused.
+        # batch-affine tree MSM (engine/msm_tree + pallas_tree): ~6
+        # Montgomery muls per point-add vs 14 for complete projective
+        # RCB.  The Pallas-fused formulation beats the dense kernel
+        # 1.5x at n=2^17 (tools/profile_tree.py); the pure-XLA
+        # fallback measures ~225M muls/s vs ~900M fused and LOSES, so
+        # the tree is default-on only where the fused path runs
+        # (TPU, G1, single device, n >= _tree_min).
         import os as _os
 
         self.msm_tree = (
             msm_style == "rns"
             and self.mesh is None
-            and _os.environ.get("ZA_MSM_TREE", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and _os.environ.get("ZA_MSM_TREE", "1") != "0"
         )
         # below this many points the fused Pallas dense kernel wins
         # (the tree's fixed costs -- per-level batch-inversion tails,
@@ -387,7 +389,10 @@ class TpuEngine:
         from . import msm_tree as MT, rns as RNS
 
         n = n_pad or max(len(q) for q in queries)
-        S = min(chunk or (1 << 15), _pad_pow2ish(n))
+        import os as _os
+
+        default_chunk = int(_os.environ.get("ZA_TREE_CHUNK", str(1 << 15)))
+        S = min(chunk or default_chunk, _pad_pow2ish(n))
         C = -(-n // S)
         total = C * S
         coords = [self._g1_limb_coords(q, total) for q in queries]
@@ -647,17 +652,18 @@ class TpuEngine:
             # group at their own size; h (the ~2x-longer domain
             # query) gets its own -- no padding the short queries up
             # to the h length
+            # tree staging is chunk-aligned, not pow2-padded: a query
+            # barely over 2^k stays ~2^k (the dense kernel's pow2ish
+            # padding would double the tables AND the MSM work)
             with _StageTimer("stage.tree.g1abl") as st:
                 g1abl = self.stage_g1_affine(
                     [params.a, params.b_g1, params.l],
-                    n_pad=n_abl, curve_check=raw,
+                    curve_check=raw,
                 )
                 st.done(g1abl.tx)
             with _StageTimer("stage.tree.g1h") as st:
                 g1h = self.stage_g1_affine(
-                    [params.h],
-                    n_pad=_pad_pow2ish(len(params.h)),
-                    curve_check=raw,
+                    [params.h], curve_check=raw,
                 )
                 st.done(g1h.tx)
             with _StageTimer("stage.tree.b_g2") as st:

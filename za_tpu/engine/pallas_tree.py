@@ -58,7 +58,14 @@ WIN = MT.WIN
 HALF = MT.HALF
 NC = PK.N_CONST  # leading shared constant inputs
 LANE = 128
-LMAX = 2048      # tile columns per grid cell
+IROWS = 8  # infinity-flag arrays carry 8 sublane rows (tile-aligned)
+# tile columns per grid cell (per-cell VMEM at 16384 is ~13 MB)
+LMAX = 16384
+# batch-inversion chain width: scans step in (35, CW) slices so the
+# base-extension matmuls stay wide -- at 128-wide slices the kernels
+# measured 93M mont muls/s (MXU starved on (34, 128) operands) vs
+# ~900M for the dense kernel's (34, 8192)
+CW = 2048
 
 
 # -- per-level constant offsets ----------------------------------------------
@@ -89,36 +96,43 @@ def _fermat_digits() -> np.ndarray:
 # -- kernel bodies ------------------------------------------------------------
 
 
-def _den_slice(kc, offs, x1r, x2r, i1r, i2r, j):
-    """(35, 128) guarded denominator for lane-slice j."""
-    sl = pl.ds(j * LANE, LANE)
+def _den_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw):
+    """(35, cw) guarded denominator for chain-slice j."""
+    sl = pl.ds(j * cw, cw)
     x1 = x1r[0, 0, :, sl].astype(jnp.uint32)
     x2 = x2r[0, 0, :, sl].astype(jnp.uint32)
     den = PK._ksub(x2, x1, kc, offs[:, 0:1])
-    either = (i1r[0, 0, :, sl] | i2r[0, 0, :, sl]) != 0
+    either = (i1r[0, 0, 0:1, sl] | i2r[0, 0, 0:1, sl]) != 0
     one = jnp.broadcast_to(kc.one, den.shape)
     return jnp.where(either, one, den)
 
 
-def _a_kernel(L, *refs):
-    """Per-tile lane-chain products of the denominators."""
+def _a_kernel(L, cw, *refs):
+    """Per-tile lane-chain products of the denominators: wide chains
+    over L/cw slices, then a narrow fold of the (35, cw) running
+    product to one (35, 128) total (keeps the N kernel's working set
+    at cells*128 columns)."""
     kc = PK._KC(refs[:NC], False)
     offs = refs[NC][:]
     x1r, x2r, i1r, i2r = refs[NC + 1:NC + 5]
     outr = refs[NC + 5]
-    run = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
-    for j in range(L // LANE):
-        run = PK._kmul(run, _den_slice(kc, offs, x1r, x2r, i1r, i2r, j),
-                       kc)
-    outr[0, 0] = run
+    run = jnp.broadcast_to(kc.one, (NCH, cw)).astype(jnp.uint32)
+    for j in range(L // cw):
+        run = PK._kmul(
+            run, _den_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw), kc
+        )
+    r2 = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
+    for k in range(cw // LANE):
+        r2 = PK._kmul(r2, run[:, k * LANE:(k + 1) * LANE], kc)
+    outr[0, 0] = r2
 
 
 def _n_kernel(steps, *refs):
-    """Invert the concatenated tile totals: fwd lane-chain scan with
-    prefixes staged in the out ref, one Fermat on the (35, 128) grand
-    total, bwd scan emitting inverses."""
+    """Invert the concatenated per-cell totals: fwd lane-chain scan
+    with prefixes staged in the out ref, one in-kernel Fermat on the
+    (35, 128) grand total, bwd scan emitting inverses."""
     kc = PK._KC(refs[:NC], False)
-    dig_r = refs[NC]          # (1, ndig) i32 fermat windows
+    dig_r = refs[NC]          # (1, ndig) i32 fermat windows (SMEM)
     in_r = refs[NC + 1]       # (NCH, steps*128) u32
     out_r = refs[NC + 2]      # (NCH, steps*128) u32
     tab_r = refs[NC + 3]      # scratch (16, NCH, LANE)
@@ -161,32 +175,52 @@ def _n_kernel(steps, *refs):
     jax.lax.fori_loop(0, steps, bwd, tinv)
 
 
-def _b_kernel(L, reset, *refs):
-    """Backward per-element inverses + the affine addition."""
+def _b_kernel(L, cw, reset, *refs):
+    """Backward per-element inverses + the affine addition.
+
+    Mirrors A's two-stage chain: wide prefixes over L/cw slices into
+    scratch, a narrow stage-2 fold of the final (35, cw) run, the
+    (35, 128) chain inverse from N unwound through stage 2 to the
+    elementwise inverse of the wide run, then the wide backward walk."""
     kc = PK._KC(refs[:NC], False)
     offs = refs[NC][:]
     x1r, x2r, y1r, y2r, i1r, i2r, tinv_r = refs[NC + 1:NC + 8]
     x3r, y3r, i3r = refs[NC + 8:NC + 11]
-    pre_r = refs[NC + 11]  # scratch (NCH, L) u32: fwd prefixes
+    pre_r = refs[NC + 11]  # scratch (NCH, L) u32: wide fwd prefixes
+    s2_r = refs[NC + 12]   # scratch (NCH, cw): stage-2 prefixes
 
-    steps = L // LANE
+    steps = L // cw
 
     def fwd(j, run):
-        sl = pl.ds(j * LANE, LANE)
+        sl = pl.ds(j * cw, cw)
         pre_r[:, sl] = run
         return PK._kmul(
-            run, _den_slice(kc, offs, x1r, x2r, i1r, i2r, j), kc
+            run, _den_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw), kc
         )
 
-    one = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
-    jax.lax.fori_loop(0, steps, fwd, one)
+    one = jnp.broadcast_to(kc.one, (NCH, cw)).astype(jnp.uint32)
+    run_w = jax.lax.fori_loop(0, steps, fwd, one)
 
-    carry0 = tinv_r[0, 0, 0]  # (NCH, LANE): this tile's chain inverses
+    # stage 2 within the final wide run
+    one_n = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
+    r2 = one_n
+    for k in range(cw // LANE):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        s2_r[:, sl] = r2
+        r2 = PK._kmul(r2, run_w[:, sl], kc)
+
+    c2 = tinv_r[0, 0, 0]  # (NCH, 128): this tile's chain inverse
+    for k in range(cw // LANE - 1, -1, -1):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        pr = s2_r[:, sl]
+        s2_r[:, sl] = PK._kmul(c2, pr, kc)  # rinv replaces the prefix
+        c2 = PK._kmul(c2, run_w[:, sl], kc)
+    carry0 = s2_r[:]  # (NCH, cw): elementwise inverse of run_w
 
     def bwd(i, carry):
         j = steps - 1 - i
-        sl = pl.ds(j * LANE, LANE)
-        den = _den_slice(kc, offs, x1r, x2r, i1r, i2r, j)
+        sl = pl.ds(j * cw, cw)
+        den = _den_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw)
         dinv = PK._kmul(carry, pre_r[:, sl], kc)
         carry = PK._kmul(carry, den, kc)
 
@@ -194,8 +228,8 @@ def _b_kernel(L, reset, *refs):
         x2 = x2r[0, 0, :, sl].astype(jnp.uint32)
         y1 = y1r[0, 0, :, sl].astype(jnp.uint32)
         y2 = y2r[0, 0, :, sl].astype(jnp.uint32)
-        i1 = i1r[0, 0, :, sl]
-        i2 = i2r[0, 0, :, sl]
+        i1 = i1r[0, 0, 0:1, sl]
+        i2 = i2r[0, 0, 0:1, sl]
 
         num = PK._ksub(y2, y1, kc, offs[:, 1:2])
         lam = PK._kmul(num, dinv, kc)
@@ -214,7 +248,7 @@ def _b_kernel(L, reset, *refs):
         y3 = jnp.where(b1, y2, jnp.where(b2, y1, y3))
         x3r[0, 0, :, sl] = x3.astype(jnp.uint16)
         y3r[0, 0, :, sl] = y3.astype(jnp.uint16)
-        i3r[0, 0, :, sl] = i1 & i2
+        i3r[0, 0, :, sl] = jnp.broadcast_to(i1 & i2, (IROWS, i1.shape[1]))
         return carry
 
     jax.lax.fori_loop(0, steps, bwd, carry0)
@@ -235,30 +269,31 @@ def tree_level(x, y, inf, bx: int, by: int, reset: bool,
                interpret: bool = False):
     """One fold-half affine tree level.
 
-    x, y: (M, W, 35, n) uint16; inf: (M, W, 35, n) uint16 flags
-    (broadcast across the channel axis so every ref shares one
-    tiling).  Returns the halved (x3, y3, inf3)."""
+    x, y: (M, W, 35, n) uint16; inf: (M, W, IROWS, n) uint16 flags
+    (row 0 carries the flag; IROWS rows keep the tiles aligned).
+    Returns the halved (x3, y3, inf3)."""
     M, W, _, n = x.shape
     half = n // 2
     L = min(LMAX, half)
     T = half // L
     assert T * L == half, (n, L)
+    cw = min(CW, L)
     offs = jnp.asarray(_level_offs(bx, by, reset))
     consts = _consts()
 
-    def tile(col_block):
+    def tile(col_block, rows=NCH):
         return pl.BlockSpec(
-            (1, 1, NCH, L), lambda m, w, t, cb=col_block:
+            (1, 1, rows, L), lambda m, w, t, cb=col_block:
             (m, w, 0, t + cb), memory_space=pltpu.VMEM,
         )
 
     off_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     tot = pl.pallas_call(
-        functools.partial(_a_kernel, L),
+        functools.partial(_a_kernel, L, cw),
         grid=(M, W, T),
-        in_specs=_cspecs() + [off_spec] + [tile(0), tile(T), tile(0),
-                                           tile(T)],
+        in_specs=_cspecs() + [off_spec] + [
+            tile(0), tile(T), tile(0, IROWS), tile(T, IROWS)],
         out_specs=pl.BlockSpec(
             (1, 1, NCH, LANE), lambda m, w, t: (m, w, 0, t),
             memory_space=pltpu.VMEM,
@@ -274,7 +309,10 @@ def tree_level(x, y, inf, bx: int, by: int, reset: bool,
     inv = pl.pallas_call(
         functools.partial(_n_kernel, steps),
         in_specs=_cspecs() + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # fermat digits: SMEM -- the digit loop indexes them with
+            # a traced loop counter (dynamic lane indexing of VMEM
+            # vectors is not lowerable)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -286,29 +324,41 @@ def tree_level(x, y, inf, bx: int, by: int, reset: bool,
         interpret=interpret,
     )(*consts, dig, flat)
     invb = inv.reshape(NCH, M, W, T, LANE).transpose(1, 2, 3, 0, 4)
-    # (M, W, T, NCH, LANE): tile (m, w, t) reads its own chain block
+    # (M, W, T, NCH, 128): tile (m, w, t) reads its own chain inverse
 
     u16 = jnp.uint16
     x3, y3, i3 = pl.pallas_call(
-        functools.partial(_b_kernel, L, reset),
+        functools.partial(_b_kernel, L, cw, reset),
         grid=(M, W, T),
         in_specs=_cspecs() + [off_spec] + [
-            tile(0), tile(T), tile(0), tile(T), tile(0), tile(T),
+            tile(0), tile(T), tile(0), tile(T), tile(0, IROWS),
+            tile(T, IROWS),
             pl.BlockSpec(
                 (1, 1, 1, NCH, LANE), lambda m, w, t: (m, w, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[pl.BlockSpec(
-            (1, 1, NCH, L), lambda m, w, t: (m, w, 0, t),
-            memory_space=pltpu.VMEM,
-        )] * 3,
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, NCH, L), lambda m, w, t: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, NCH, L), lambda m, w, t: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, IROWS, L), lambda m, w, t: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((M, W, NCH, half), u16),
             jax.ShapeDtypeStruct((M, W, NCH, half), u16),
-            jax.ShapeDtypeStruct((M, W, NCH, half), u16),
+            jax.ShapeDtypeStruct((M, W, IROWS, half), u16),
         ],
-        scratch_shapes=[pltpu.VMEM((NCH, L), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((NCH, L), jnp.uint32),
+                        pltpu.VMEM((NCH, cw), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -347,7 +397,9 @@ def _select_chunk(tabx, taby, d):
     yn = jnp.where(yn >= jnp.asarray(p)[None, None, :, None],
                    yn - jnp.asarray(p)[None, None, :, None], yn)
     sy = jnp.where(neg, yn, sy)
-    inf = jnp.broadcast_to(admw == 0, sx.shape)
+    inf = jnp.broadcast_to(
+        admw == 0, sx.shape[:2] + (IROWS, sx.shape[3])
+    )
     return (sx.astype(jnp.uint16), sy.astype(jnp.uint16),
             inf.astype(jnp.uint16))
 

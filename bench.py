@@ -106,7 +106,9 @@ def main():
 
         logging.basicConfig(level=logging.INFO, format="# %(message)s",
                             stream=sys.stderr)
-    log2n = int(os.environ.get("ZA_BENCH_LOG2N", "13"))
+    # default 2^17: the mid-rung of the BASELINE ladder (13/17/20);
+    # LADDER_r04.json records all three
+    log2n = int(os.environ.get("ZA_BENCH_LOG2N", "17"))
     lanes = os.environ.get("ZA_BENCH_LANES")
     lanes = int(lanes) if lanes else None
 

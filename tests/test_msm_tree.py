@@ -266,3 +266,28 @@ def test_fused_tree_matches_host_interpret():
         np.asarray(X)[:, 0], np.asarray(Y)[:, 0], np.asarray(Z)[:, 0]
     )
     assert got == _host_msm_g1(points, scalars)
+
+
+@pytest.mark.compiled
+@pytest.mark.slow
+def test_fused_tree_g2_matches_host_interpret():
+    """pallas_tree.msm_tree_fused_g2 (flat-Fq2 kernels) in interpret
+    mode vs the host oracle."""
+    import za_tpu.engine.pallas_tree as PT
+
+    rng = random.Random(31)
+    n = 256
+    points = [g2_mul(G2_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(0, R) for _ in range(n)]
+    scalars[3] = 0
+    staged = EC.g2_points_to_rns(points)
+    staged = tuple(x[:, :, None, :] for x in staged)
+    tabs = MT.stage_affine_tables(staged, is_g2=True, n=n, chunk=n)
+    ops = EC.make_g2_ops_rns()
+    X, Y, Z = PT.msm_tree_fused_g2(tabs, _scalars_arr(scalars), ops,
+                                   interpret=True)
+    got = EC.g2_point_from_rns(
+        np.asarray(X)[:, :, 0], np.asarray(Y)[:, :, 0],
+        np.asarray(Z)[:, :, 0],
+    )
+    assert got == _host_msm_g2(points, scalars)

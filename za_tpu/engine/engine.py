@@ -426,7 +426,10 @@ class TpuEngine:
         from . import msm_tree as MT, rns as RNS
 
         n = n_pad or max(len(q) for q in queries)
-        S = min(chunk or (1 << 15), _pad_pow2ish(n))
+        import os as _os
+
+        default_chunk = int(_os.environ.get("ZA_TREE_CHUNK", str(1 << 15)))
+        S = min(chunk or default_chunk, _pad_pow2ish(n))
         C = -(-n // S)
         total = C * S
         coords = [self._g2_limb_coords(q, total) for q in queries]
@@ -469,15 +472,19 @@ class TpuEngine:
             ops = (
                 ec.make_g2_ops_rns() if is_g2 else ec.make_g1_ops_rns()
             )
-            fused = (not is_g2) and jax.default_backend() == "tpu"
+            fused = jax.default_backend() == "tpu"
             if fused:
                 from . import pallas_tree as PT
 
+                fn2 = (
+                    PT.msm_tree_fused_g2 if is_g2 else PT.msm_tree_fused
+                )
+
                 def run(tx, ty, scalars):
                     tabs = MT.AffineTables(
-                        tx=tx, ty=ty, n=0, is_g2=False
+                        tx=tx, ty=ty, n=0, is_g2=is_g2
                     )
-                    return PT.msm_tree_fused(tabs, scalars, ops)
+                    return fn2(tabs, scalars, ops)
             else:
                 def run(tx, ty, scalars):
                     tabs = MT.AffineTables(
@@ -667,14 +674,16 @@ class TpuEngine:
                 )
                 st.done(g1h.tx)
             with _StageTimer("stage.tree.b_g2") as st:
-                # G2 stays on the fused dense Pallas kernel: the tree
-                # is only fused for G1 so far (pallas_tree.py), and
-                # the XLA tree formulation is slower than the dense
-                # kernel (tools/profile_tree2.py)
-                b_g2x = self.stage_g2_stacked(
-                    [b2q], curve_check=raw, n_pad=n2
-                )
-                st.done(b_g2x)
+                if n2 >= self._tree_min:
+                    b_g2x = self.stage_g2_affine(
+                        [params.b_g2], curve_check=raw
+                    )
+                    st.done(b_g2x.tx)
+                else:  # small G2: the fused dense kernel wins
+                    b_g2x = self.stage_g2_stacked(
+                        [b2q], curve_check=raw, n_pad=n2
+                    )
+                    st.done(b_g2x)
             staged = {"g1abl": g1abl, "g1h": g1h, "b_g2x": b_g2x}
             params._staged_cache = (key, staged)
             return staged

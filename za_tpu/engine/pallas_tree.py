@@ -72,11 +72,14 @@ CW = 2048
 
 
 @functools.lru_cache(maxsize=None)
-def _level_offs(bx: int, by: int, reset: bool) -> np.ndarray:
+def _level_offs(bx: int, by: int, reset: bool,
+                omul: int = 4) -> np.ndarray:
     """(35, 5) u32 columns: den, num, x3, w, y3 subtraction offsets
-    (k*N mod p per channel), mirroring msm_tree._affine_level."""
+    (k*N mod p per channel), mirroring msm_tree._affine_level.
+    omul: mont-mul output bound (4 for Fq, 12 for Fq2 schoolbook)."""
     N = RNS.RQ.modulus
-    ks = [bx, by, 2 * bx, (4 + 4) if reset else (4 + 2 * bx), by]
+    ks = [bx, by, 2 * bx,
+          (omul + 4) if reset else (omul + 2 * bx), by]
     return np.stack(
         [MT._off_vec(k, N) for k in ks], axis=1
     ).astype(np.uint32)
@@ -415,7 +418,7 @@ def msm_tree_fused(tables: MT.AffineTables, scalars, ops,
     assert not tables.is_g2, "fused tree path is G1 (G2: dense kernel)"
     C, S, M = tables.chunks, tables.chunk_cols, tables.m
     n_pad = C * S
-    plan = MT._level_plan(32, False)
+    plan = MT._level_plan(max(S.bit_length() - 1, 1), False)
 
     if scalars.shape[-1] < n_pad:
         scalars = jnp.pad(
@@ -469,3 +472,411 @@ def msm_tree_fused(tables: MT.AffineTables, scalars, ops,
         lambda a: jnp.swapaxes(a, -1, -2), acc
     )
     return MSM.horner_windows(wsum, ops, False, 4)
+
+
+# -- G2: flat-Fq2 level kernels ----------------------------------------------
+# A G2 coordinate is 70 channel rows: rows [0, 35) = c0, [35, 70) = c1
+# (component stacking on the SUBLANE axis keeps every block a plain
+# (rows, L) tile; a trailing component axis would make (2, L) minor
+# tiles).  Field product is SCHOOLBOOK (4 mont muls; Karatsuba's
+# operand sums would leave the 512N contract at the tree's den bounds,
+# see msm_tree._level_plan(is_g2=True)); inversion tails use the norm
+# map (one Fq Fermat).
+
+NROW2 = 2 * NCH
+OMUL2 = 12  # fq2 schoolbook mul output component bound
+
+
+def _f2_split(a):
+    return a[:NCH], a[NCH:]
+
+
+def _f2_cat(c0, c1):
+    return jnp.concatenate([c0, c1], axis=0)
+
+
+def _f2_mul(a, b, kc):
+    a0, a1 = _f2_split(a)
+    b0, b1 = _f2_split(b)
+    t0 = PK._kmul(a0, b0, kc)
+    t1 = PK._kmul(a1, b1, kc)
+    t2 = PK._kmul(a0, b1, kc)
+    t3 = PK._kmul(a1, b0, kc)
+    c0 = PK._ksub(t0, t1, kc, kc.sub8)
+    c1 = PK._kadd(t2, t3, kc)
+    return _f2_cat(c0, c1)
+
+
+def _f2_sub(a, b, kc, off):
+    a0, a1 = _f2_split(a)
+    b0, b1 = _f2_split(b)
+    return _f2_cat(PK._ksub(a0, b0, kc, off), PK._ksub(a1, b1, kc, off))
+
+
+def _f2_add(a, b, kc):
+    a0, a1 = _f2_split(a)
+    b0, b1 = _f2_split(b)
+    return _f2_cat(PK._kadd(a0, b0, kc), PK._kadd(a1, b1, kc))
+
+
+def _f2_one(kc, width):
+    one = jnp.broadcast_to(kc.one, (NCH, width)).astype(jnp.uint32)
+    return _f2_cat(one, jnp.zeros_like(one))
+
+
+def _f2_fermat(total, kc, dig_r, tab_r):
+    """(70, 128) -> inverse via the norm map: (a+bi)^-1 =
+    (a - bi) / (a^2 + b^2); Fq Fermat on the norm with the shared
+    digit table."""
+    a0, a1 = _f2_split(total)
+    n0 = PK._kmul(a0, a0, kc)
+    n1 = PK._kmul(a1, a1, kc)
+    norm = PK._kadd(n0, n1, kc)
+
+    tab_r[0] = norm
+    for k in range(1, 16):
+        tab_r[k] = PK._kmul(tab_r[k - 1], norm, kc)
+    ndig = dig_r.shape[1]
+    acc0 = tab_r[pl.ds(dig_r[0, 0] - 1, 1)][0]
+
+    def fstep(i, acc):
+        acc = PK._kmul(acc, acc, kc)
+        acc = PK._kmul(acc, acc, kc)
+        acc = PK._kmul(acc, acc, kc)
+        acc = PK._kmul(acc, acc, kc)
+        d = dig_r[0, i]
+        t = tab_r[pl.ds(jnp.maximum(d - 1, 0), 1)][0]
+        return jnp.where(d > 0, PK._kmul(acc, t, kc), acc)
+
+    ninv = jax.lax.fori_loop(1, ndig, fstep, acc0)
+    c0 = PK._kmul(a0, ninv, kc)
+    c1 = PK._kmul(a1, ninv, kc)
+    c1 = PK._ksub(jnp.zeros_like(c1), c1, kc, kc.sub8)
+    return _f2_cat(c0, c1)
+
+
+def _den2_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw):
+    sl = pl.ds(j * cw, cw)
+    x1 = x1r[0, 0, :, sl].astype(jnp.uint32)
+    x2 = x2r[0, 0, :, sl].astype(jnp.uint32)
+    den = _f2_sub(x2, x1, kc, offs[:, 0:1])
+    either = (i1r[0, 0, 0:1, sl] | i2r[0, 0, 0:1, sl]) != 0
+    return jnp.where(either, _f2_one(kc, cw), den)
+
+
+def _a2_kernel(L, cw, *refs):
+    kc = PK._KC(refs[:NC], False)
+    offs = refs[NC][:]
+    x1r, x2r, i1r, i2r = refs[NC + 1:NC + 5]
+    outr = refs[NC + 5]
+    run = _f2_one(kc, cw)
+    for j in range(L // cw):
+        run = _f2_mul(
+            run, _den2_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw), kc
+        )
+    r2 = _f2_one(kc, LANE)
+    for k in range(cw // LANE):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        r2 = _f2_mul(r2, run[:, sl], kc)
+    outr[0, 0] = r2
+
+
+def _n2_kernel(steps, *refs):
+    kc = PK._KC(refs[:NC], False)
+    dig_r = refs[NC]
+    in_r = refs[NC + 1]       # (70, steps*128)
+    out_r = refs[NC + 2]
+    tab_r = refs[NC + 3]      # scratch (16, NCH, LANE)
+
+    def fwd(j, run):
+        sl = pl.ds(j * LANE, LANE)
+        out_r[:, sl] = run
+        return _f2_mul(run, in_r[:, sl], kc)
+
+    total = jax.lax.fori_loop(0, steps, fwd, _f2_one(kc, LANE))
+    tinv = _f2_fermat(total, kc, dig_r, tab_r)
+
+    def bwd(i, carry):
+        j = steps - 1 - i
+        sl = pl.ds(j * LANE, LANE)
+        pre = out_r[:, sl]
+        t = in_r[:, sl]
+        out_r[:, sl] = _f2_mul(carry, pre, kc)
+        return _f2_mul(carry, t, kc)
+
+    jax.lax.fori_loop(0, steps, bwd, tinv)
+
+
+def _b2_kernel(L, cw, reset, *refs):
+    kc = PK._KC(refs[:NC], False)
+    offs = refs[NC][:]
+    x1r, x2r, y1r, y2r, i1r, i2r, tinv_r = refs[NC + 1:NC + 8]
+    x3r, y3r, i3r = refs[NC + 8:NC + 11]
+    pre_r = refs[NC + 11]  # scratch (70, L)
+    s2_r = refs[NC + 12]   # scratch (70, cw)
+
+    steps = L // cw
+
+    def fwd(j, run):
+        sl = pl.ds(j * cw, cw)
+        pre_r[:, sl] = run
+        return _f2_mul(
+            run, _den2_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw), kc
+        )
+
+    run_w = jax.lax.fori_loop(0, steps, fwd, _f2_one(kc, cw))
+
+    r2 = _f2_one(kc, LANE)
+    for k in range(cw // LANE):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        s2_r[:, sl] = r2
+        r2 = _f2_mul(r2, run_w[:, sl], kc)
+
+    c2 = tinv_r[0, 0, 0]
+    for k in range(cw // LANE - 1, -1, -1):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        pr = s2_r[:, sl]
+        s2_r[:, sl] = _f2_mul(c2, pr, kc)
+        c2 = _f2_mul(c2, run_w[:, sl], kc)
+    carry0 = s2_r[:]
+
+    def bwd(i, carry):
+        j = steps - 1 - i
+        sl = pl.ds(j * cw, cw)
+        den = _den2_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw)
+        dinv = _f2_mul(carry, pre_r[:, sl], kc)
+        carry = _f2_mul(carry, den, kc)
+
+        x1 = x1r[0, 0, :, sl].astype(jnp.uint32)
+        x2 = x2r[0, 0, :, sl].astype(jnp.uint32)
+        y1 = y1r[0, 0, :, sl].astype(jnp.uint32)
+        y2 = y2r[0, 0, :, sl].astype(jnp.uint32)
+        i1 = i1r[0, 0, 0:1, sl]
+        i2 = i2r[0, 0, 0:1, sl]
+
+        num = _f2_sub(y2, y1, kc, offs[:, 1:2])
+        lam = _f2_mul(num, dinv, kc)
+        t = _f2_mul(lam, lam, kc)
+        sx = _f2_add(x1, x2, kc)
+        x3 = _f2_sub(t, sx, kc, offs[:, 2:3])
+        if reset:
+            x3 = _f2_mul(x3, _f2_one(kc, x3.shape[1]), kc)
+        w = _f2_sub(x1, x3, kc, offs[:, 3:4])
+        u = _f2_mul(lam, w, kc)
+        y3 = _f2_sub(u, y1, kc, offs[:, 4:5])
+
+        b1 = i1 != 0
+        b2 = i2 != 0
+        x3 = jnp.where(b1, x2, jnp.where(b2, x1, x3))
+        y3 = jnp.where(b1, y2, jnp.where(b2, y1, y3))
+        x3r[0, 0, :, sl] = x3.astype(jnp.uint16)
+        y3r[0, 0, :, sl] = y3.astype(jnp.uint16)
+        i3r[0, 0, :, sl] = jnp.broadcast_to(i1 & i2,
+                                            (IROWS, i1.shape[1]))
+        return carry
+
+    jax.lax.fori_loop(0, steps, bwd, carry0)
+
+
+LMAX2 = 8192  # G2 tile columns (70-row planes double the VMEM)
+
+
+def tree_level_g2(x, y, inf, bx: int, by: int, reset: bool,
+                  interpret: bool = False):
+    """One fold-half affine tree level over flat-Fq2 state.
+
+    x, y: (M, W, 70, n) uint16 (rows [0,35) = c0, [35,70) = c1);
+    inf: (M, W, IROWS, n) uint16."""
+    M, W, _, n = x.shape
+    half = n // 2
+    L = min(LMAX2, half)
+    T = half // L
+    assert T * L == half, (n, L)
+    cw = min(CW, L)
+    offs = jnp.asarray(_level_offs(bx, by, reset, OMUL2))
+    consts = _consts()
+
+    def tile(col_block, rows=NROW2):
+        return pl.BlockSpec(
+            (1, 1, rows, L), lambda m, w, t, cb=col_block:
+            (m, w, 0, t + cb), memory_space=pltpu.VMEM,
+        )
+
+    off_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    tot = pl.pallas_call(
+        functools.partial(_a2_kernel, L, cw),
+        grid=(M, W, T),
+        in_specs=_cspecs() + [off_spec] + [
+            tile(0), tile(T), tile(0, IROWS), tile(T, IROWS)],
+        out_specs=pl.BlockSpec(
+            (1, 1, NROW2, LANE), lambda m, w, t: (m, w, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, W, NROW2, T * LANE),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(*consts, offs, x, x, inf, inf)
+
+    flat = tot.transpose(2, 0, 1, 3).reshape(NROW2, M * W * T * LANE)
+    dig = jnp.asarray(_fermat_digits()[None])
+    steps = M * W * T
+    inv = pl.pallas_call(
+        functools.partial(_n2_kernel, steps),
+        in_specs=_cspecs() + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((16, NCH, LANE), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, dig, flat)
+    invb = inv.reshape(NROW2, M, W, T, LANE).transpose(1, 2, 3, 0, 4)
+
+    u16 = jnp.uint16
+    x3, y3, i3 = pl.pallas_call(
+        functools.partial(_b2_kernel, L, cw, reset),
+        grid=(M, W, T),
+        in_specs=_cspecs() + [off_spec] + [
+            tile(0), tile(T), tile(0), tile(T), tile(0, IROWS),
+            tile(T, IROWS),
+            pl.BlockSpec(
+                (1, 1, 1, NROW2, LANE),
+                lambda m, w, t: (m, w, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, NROW2, L), lambda m, w, t: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, NROW2, L), lambda m, w, t: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, IROWS, L), lambda m, w, t: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, W, NROW2, half), u16),
+            jax.ShapeDtypeStruct((M, W, NROW2, half), u16),
+            jax.ShapeDtypeStruct((M, W, IROWS, half), u16),
+        ],
+        scratch_shapes=[pltpu.VMEM((NROW2, L), jnp.uint32),
+                        pltpu.VMEM((NROW2, cw), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, offs, x, x, y, y, inf, inf, invb)
+    return x3, y3, i3
+
+
+def _select_chunk_g2(tabx, taby, d):
+    """tabx/taby: (8, 35, 2, M, S) u16; d: (W, M, S) int8 ->
+    x, y: (M, W, 70, S) u16; inf: (M, W, IROWS, S) u16."""
+    ctx = RNS.RQ
+    ad = jnp.abs(d.astype(jnp.int32))
+    admw = jnp.moveaxis(ad, 0, 1)[:, :, None, :]   # (M, W, 1, S)
+
+    def pick(tab):
+        # (8, 35, 2, M, S) -> (8, M, 70, S): c0 rows then c1 rows
+        # (a reshape would interleave components per channel)
+        t = tab.astype(jnp.uint32)
+        t = jnp.concatenate([t[:, :, 0], t[:, :, 1]], axis=1)
+        t = jnp.moveaxis(t, 2, 1)
+        exp = t[:, :, None]                  # (8, M, 1, 70, S)
+        sel = exp[0]
+        for k in range(2, HALF + 1):
+            sel = jnp.where(admw == k, exp[k - 1], sel)
+        return sel                           # (M, W, 70, S)
+
+    sx = pick(tabx)
+    sy = pick(taby)
+    neg = jnp.moveaxis(d, 0, 1)[:, :, None, :] < 0
+    off24 = np.concatenate([MT._off_vec(24, ctx.modulus)] * 2)
+    pp = np.concatenate([ctx.p] * 2)
+    yn = jnp.asarray(off24)[None, None, :, None] + \
+        jnp.asarray(pp)[None, None, :, None] - sy
+    yn = jnp.where(yn >= jnp.asarray(pp)[None, None, :, None],
+                   yn - jnp.asarray(pp)[None, None, :, None], yn)
+    sy = jnp.where(neg, yn, sy)
+    inf = jnp.broadcast_to(
+        admw == 0, sx.shape[:2] + (IROWS, sx.shape[3])
+    )
+    return (sx.astype(jnp.uint16), sy.astype(jnp.uint16),
+            inf.astype(jnp.uint16))
+
+
+def msm_tree_fused_g2(tables: MT.AffineTables, scalars, ops,
+                      interpret: bool = False, min_kernel: int = 128):
+    """M same-size G2 MSMs with Pallas-fused flat-Fq2 tree levels.
+    Same contract as msm_affine_tree (leaves (35, 2, M))."""
+    assert tables.is_g2
+    C, S, M = tables.chunks, tables.chunk_cols, tables.m
+    n_pad = C * S
+    # only log2(S) levels ever run; deeper G2 plans would trip the
+    # by-bound assert (by grows 12N per level)
+    plan = MT._level_plan(max(S.bit_length() - 1, 1), True)
+
+    if scalars.shape[-1] < n_pad:
+        scalars = jnp.pad(
+            scalars, ((0, 0),) * (scalars.ndim - 1)
+            + ((0, n_pad - scalars.shape[-1]),)
+        )
+    d = MSM.signed_digits(scalars, 4).astype(jnp.int8)
+    d = jnp.moveaxis(d.reshape(WIN, M, C, S), 2, 0)
+
+    tail = max(min_kernel, 128)
+
+    def chunk_partials(tabx, taby, dg):
+        x, y, inf = _select_chunk_g2(tabx, taby, dg)
+        lvl = 0
+        n_k = S
+        while n_k > tail:
+            bx, by, reset = plan[lvl]
+            x, y, inf = tree_level_g2(x, y, inf, bx, by, reset,
+                                      interpret=interpret)
+            n_k //= 2
+            lvl += 1
+        fld = MT.Fq2Adapter()
+        xc = jnp.stack(
+            [jnp.moveaxis(x[:, :, :NCH], 2, 0),
+             jnp.moveaxis(x[:, :, NCH:], 2, 0)], axis=1
+        ).astype(jnp.uint32)                 # (35, 2, M, W, n_k)
+        yc = jnp.stack(
+            [jnp.moveaxis(y[:, :, :NCH], 2, 0),
+             jnp.moveaxis(y[:, :, NCH:], 2, 0)], axis=1
+        ).astype(jnp.uint32)
+        ic = inf[:, :, 0, :] != 0
+        return MT._proj_of_affine(xc, yc, ic, fld, ops)
+
+    def scan_body(carry, xs):
+        tabx, taby, dg = xs
+        part = chunk_partials(tabx, taby, dg)
+        return ec.point_add(carry, part, ops), None
+
+    first = chunk_partials(tables.tx[0], tables.ty[0], d[0])
+    if C > 1:
+        acc, _ = jax.lax.scan(
+            scan_body, first, (tables.tx[1:], tables.ty[1:], d[1:])
+        )
+    else:
+        acc = first
+
+    T = min(S, tail)
+    if T > 1:
+        acc = MSM.lane_fold(acc, ops, T)
+    else:
+        acc = jax.tree_util.tree_map(lambda a: a[..., 0], acc)
+    wsum = jax.tree_util.tree_map(
+        lambda a: jnp.swapaxes(a, -1, -2), acc
+    )
+    return MSM.horner_windows(wsum, ops, True, 4)

@@ -184,8 +184,12 @@ def main():
             [a_q, b1_q, l_q]))
         s_h = stage("stage_tree_g1h", lambda: eng.stage_g1_affine(
             [h_q]))
-        sb2 = stage("stage_tree_b2", lambda: eng.stage_g2_affine(
-            [b2_q]))
+        if os.environ.get("ZA_TREE_G2", "1") != "0":
+            sb2 = stage("stage_tree_b2", lambda: eng.stage_g2_affine(
+                [b2_q]))
+        else:
+            sb2 = stage("stage_b2", lambda: eng.stage_g2_stacked(
+                [b2_q + [None] * (n2 - len(b2_q))]))
     else:
         n_common = _pad_pow2ish(
             max(len(a_q), len(b1_q), len(l_q), len(h_q))

@@ -674,7 +674,13 @@ class TpuEngine:
                 )
                 st.done(g1h.tx)
             with _StageTimer("stage.tree.b_g2") as st:
-                if n2 >= self._tree_min:
+                # ZA_TREE_G2=0 pins G2 to the dense kernel: at the
+                # 2^20 ladder the tree-G2 staging layout currently
+                # trips an HBM allocator limit (LADDER_r04 note)
+                import os as _os
+
+                tree_g2 = _os.environ.get("ZA_TREE_G2", "1") != "0"
+                if tree_g2 and n2 >= self._tree_min:
                     b_g2x = self.stage_g2_affine(
                         [params.b_g2], curve_check=raw
                     )

@@ -66,14 +66,18 @@ def build_r1cs(log2n: int):
 
 def witness_bench(log2n: int) -> dict:
     """Interpreter vs compiled-trace witness generation on a real
-    multiplier-chain circuit (closes the last unmeasured stage of the
-    prove path; helper.prove uses the replay automatically)."""
+    multiplier-chain circuit AT THE REPORTED SIZE (no cap: the ladder
+    measures witness cost at the config it reports).  Replay goes
+    through the native C tape interpreter when buildable
+    (native/wtrace_replay.c), falling back to the Python tape."""
     from za_tpu.algebra import FS, Value
     from za_tpu.compiler import Evaluator, Mode
     from za_tpu.compiler.evaluator import Scope
     from za_tpu.compiler.wtrace import TraceRecorder
 
-    n = 1 << min(log2n, 15)  # interpreter at ~3k c/s: cap the cost
+    n = 1 << log2n
+    if os.environ.get("ZA_BENCH_WITNESS_CAP"):
+        n = min(n, 1 << int(os.environ["ZA_BENCH_WITNESS_CAP"]))
     circuit = (
         "template chain(N) {\n"
         " signal input x;\n signal output out;\n signal t[N];\n"
@@ -91,12 +95,25 @@ def witness_bench(log2n: int) -> dict:
     prog = ev.wtrace.finish(ev.signals)
 
     t0 = time.time()
-    prog.run({"main.x": 3})
+    prog._packed()  # one-time tape packing (cold-path cost)
+    pack_s = time.time() - t0
+
+    from za_tpu.native import wtrace_lib
+
+    native = wtrace_lib() is not None
+    t0 = time.time()
+    limbs = prog.replay_limbs({"main.x": 3})
+    if limbs is None:
+        prog.replay_values({"main.x": 3})
     replay_s = time.time() - t0
     return {
         "witness_constraints": n,
         "witness_interpret_c_per_s": int(n / interp_s),
         "witness_replay_c_per_s": int(n / max(replay_s, 1e-9)),
+        "witness_replay_s": round(replay_s, 4),
+        "witness_interpret_s": round(interp_s, 2),
+        "witness_pack_s": round(pack_s, 2),
+        "witness_replay_native": native,
     }
 
 
@@ -160,10 +177,14 @@ def main():
     print(f"# engine init ok (msm_style={eng.msm_style})",
           file=sys.stderr, flush=True)
 
+    stage_total = [0.0]
+
     def stage(name, f):
         t = time.time()
         r = f()
-        print(f"#   {name}: {time.time()-t:.2f}s", file=sys.stderr, flush=True)
+        dt_ = time.time() - t
+        stage_total[0] += dt_
+        print(f"#   {name}: {dt_:.2f}s", file=sys.stderr, flush=True)
         return r
 
     # stage pk material and witness limbs once (device-resident, as a
@@ -224,9 +245,30 @@ def main():
     warm = time.time() - t0
     print(f"# warmup (incl compile) {warm:.1f}s", file=sys.stderr)
 
+    # warm sat-check (part of every real prove; compiled in warmup)
+    eng.r1cs_satisfied(r1cs, z_l)
+    t0 = time.time()
+    sat_ok = eng.r1cs_satisfied(r1cs, z_l)
+    sat_s = time.time() - t0
+    assert sat_ok
+    print(f"# sat check {sat_s:.2f}s", file=sys.stderr, flush=True)
+
     t0 = time.time()
     prove_compute()
     dt = time.time() - t0
+
+    # end-to-end wall accounting (VERDICT r4 item 6): warm wall = one
+    # full repeat prove (witness replay + sat check + device compute +
+    # result d2h, all inside the measured calls); cold wall = first
+    # prove of a fresh process (staging + compile-included first
+    # iteration + witness interpret + tape pack)
+    wit_replay_s = wit.get("witness_replay_s", 0.0)
+    prove_wall_warm = round(wit_replay_s + sat_s + dt, 3)
+    prove_wall_cold = round(
+        stage_total[0] + warm
+        + wit.get("witness_interpret_s", 0.0)
+        + wit.get("witness_pack_s", 0.0), 1,
+    )
 
     # point-add work model of the signed radix-16 dense MSM:
     # (ceil(254/4) windows + 7 table adds) per point
@@ -245,7 +287,12 @@ def main():
             "constraints_per_s": int(n / dt),
             "g1_point_adds_per_s": int(point_adds / dt),
             "warmup_s": round(warm, 1),
+            "stage_s": round(stage_total[0], 1),
+            "sat_check_s": round(sat_s, 3),
+            "prove_wall_s_warm": prove_wall_warm,
+            "prove_wall_s_cold": prove_wall_cold,
             "msm_style": eng.msm_style,
+            "msm_tree": getattr(eng, "msm_tree", False),
             "baseline": "single-core bellman @5k constraints/s (est)",
             **wit,
         },

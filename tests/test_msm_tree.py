@@ -127,6 +127,48 @@ def test_tree_msm_g1_tail_padding():
     assert got == _host_msm_g1(points, scalars)
 
 
+def test_tree_msm_g1_identity_with_live_scalars():
+    """Interior None (identity) points carrying NONZERO scalars -- the
+    pk-query shape after density filtering (setup stores None at
+    non-dense slots while the witness scalar stays live).  Regression:
+    the tree used to flag infinity only on digit==0, letting garbage
+    staged table entries of identity columns enter the sum."""
+    rng = random.Random(23)
+    n = 32
+    points = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    for i in (0, 5, 17, 30):  # interior identities
+        points[i] = None
+    scalars = [rng.randrange(1, R) for _ in range(n)]  # ALL nonzero
+    tabs = _stage_g1(points, chunk=16)
+    ops = EC.make_g1_ops_rns()
+    X, Y, Z = MT.msm_affine_tree(tabs, _scalars_arr(scalars), ops)
+    got = EC.g1_point_from_rns(
+        np.asarray(X)[:, 0], np.asarray(Y)[:, 0], np.asarray(Z)[:, 0]
+    )
+    assert got == _host_msm_g1(points, scalars)
+
+
+def test_tree_msm_g2_identity_with_live_scalars():
+    """Same regression for the flat-Fq2 tree (b_g2 queries are
+    density-filtered too)."""
+    rng = random.Random(29)
+    n = 16
+    points = [g2_mul(G2_GEN, rng.randrange(1, R)) for _ in range(n)]
+    for i in (1, 7, 12):
+        points[i] = None
+    scalars = [rng.randrange(1, R) for _ in range(n)]
+    staged = EC.g2_points_to_rns(points)
+    staged = tuple(x[:, :, None, :] for x in staged)
+    tabs = MT.stage_affine_tables(staged, is_g2=True, n=n, chunk=8)
+    ops = EC.make_g2_ops_rns()
+    X, Y, Z = MT.msm_affine_tree(tabs, _scalars_arr(scalars), ops)
+    got = EC.g2_point_from_rns(
+        np.asarray(X)[:, :, 0], np.asarray(Y)[:, :, 0],
+        np.asarray(Z)[:, :, 0],
+    )
+    assert got == _host_msm_g2(points, scalars)
+
+
 def test_tree_msm_g1_grouped():
     """M = 2 same-table-size queries in one call."""
     rng = random.Random(13)
@@ -198,6 +240,64 @@ def test_tree_matches_signed_dense():
     )
     host = _host_msm_g1(points, scalars)
     assert dense == host and tree == host
+
+
+@pytest.mark.compiled
+@pytest.mark.slow
+def test_devcache_roundtrip(tmp_path):
+    """Device-layout pk cache: first staging writes <pk>.devcache;
+    a FRESH engine loads byte-identical tables from it instead of
+    rebuilding (SURVEY section 5 checkpoint row)."""
+    from za_tpu.engine.engine import TpuEngine
+    from za_tpu.groth16.r1cs import R1CS
+    from za_tpu.groth16.setup import generate_parameters
+
+    rng = random.Random(31)
+    n = 600
+    a_rows = [[(i + 1, 1)] for i in range(n)]
+    b_rows = [[(i + 1, 1)] for i in range(n)]
+    c_rows = [[(i + 2, 1)] for i in range(n)]
+    r1cs = R1CS(num_inputs=2, num_aux=n, input_names=["main.x"],
+                a_rows=a_rows, b_rows=b_rows, c_rows=c_rows,
+                var_of_signal=[])
+    params = generate_parameters(r1cs, tau=11, alpha=3, beta=5,
+                                 gamma=7, delta=9)
+    cache = str(tmp_path / "pk.devcache")
+
+    eng = TpuEngine(msm_style="rns", lanes=8)
+    eng.msm_tree = True
+    eng._tree_min = 256
+    params._devcache_path = cache
+    params._devcache_digest = "d" * 16
+    staged1 = eng.stage_params(params, r1cs)
+    assert "g1abl" in staged1
+    import os
+
+    assert os.path.exists(cache), "devcache not written"
+
+    params._staged_cache = None  # force restage on the fresh engine
+    eng2 = TpuEngine(msm_style="rns", lanes=8)
+    eng2.msm_tree = True
+    eng2._tree_min = 256
+    staged2 = eng2.stage_params(params, r1cs)
+    for name in ("g1abl", "g1h", "b_g2x"):
+        t1, t2 = staged1[name], staged2[name]
+        assert np.array_equal(np.asarray(t1.tx), np.asarray(t2.tx))
+        assert np.array_equal(np.asarray(t1.ty), np.asarray(t2.ty))
+        assert np.array_equal(
+            np.asarray(t1.ident), np.asarray(t2.ident)
+        )
+
+    # digest mismatch invalidates
+    params._staged_cache = None
+    params._devcache_digest = "e" * 16
+    eng3 = TpuEngine(msm_style="rns", lanes=8)
+    eng3.msm_tree = True
+    eng3._tree_min = 256
+    staged3 = eng3.stage_params(params, r1cs)  # restages, no crash
+    assert np.array_equal(
+        np.asarray(staged3["g1h"].tx), np.asarray(staged1["g1h"].tx)
+    )
 
 
 @pytest.mark.compiled

@@ -61,6 +61,106 @@ if jax.process_index() == 0:
 """
 
 
+PROVE_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["ZA_REPO"])
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.environ["ZA_REPO"], "tests", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from za_tpu.engine.dist import init_distributed
+assert init_distributed(), "distributed init did not engage"
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+from za_tpu.algebra import FS, Value
+from za_tpu.compiler import Evaluator, Mode
+from za_tpu.compiler.evaluator import Scope
+from za_tpu.engine.engine import TpuEngine
+from za_tpu.groth16 import R1CS, generate_parameters, prove, verify_proof
+from za_tpu.groth16.prove import HostEngine
+
+circuit = '''
+template chain(N) {
+    signal input x;
+    signal output out;
+    signal t[N];
+    t[0] <== x * x;
+    for (var i=1;i<N;i+=1) { t[i] <== t[i-1] * x + i; }
+    out <== t[N-1];
+}
+component main = chain(600);
+'''
+ev = Evaluator(Mode.GEN_CONSTRAINTS)
+ev.eval_inline(Scope(True, None, "root"), circuit)
+r1cs = R1CS.from_constraints(ev.signals, ev.constraints, [])
+evw = Evaluator(Mode.GEN_WITNESS)
+evw.set_deferred_value("main.x", Value(FS(3)))
+evw.eval_inline(Scope(True, None, "root"), circuit)
+z = r1cs.assignment_from_signals(evw.signals)
+params = generate_parameters(r1cs, tau=11, alpha=3, beta=5, gamma=7,
+                             delta=9)
+
+eng = TpuEngine(mesh_devices=8, lanes=8)
+assert eng._multiproc(), "engine must see the 2-process runtime"
+assert eng.r1cs_satisfied(r1cs, z), "sharded multihost sat check"
+p = prove(params, r1cs, z, r=13, s=17, engine=eng)
+p_host = prove(params, r1cs, z, r=13, s=17, engine=HostEngine())
+assert (p.a, p.b, p.c) == (p_host.a, p_host.b, p_host.c), \
+    "multihost proof != host proof"
+assert verify_proof(params.vk, p, z[1 : r1cs.num_inputs])
+if jax.process_index() == 0:
+    print("MULTIHOST_PROVE_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_prove(tmp_path):
+    """2-process CPU-mesh PROVE over jax.distributed (the DCN path):
+    every heavy stage (staging uploads as global arrays, sharded
+    matvec/NTT/MSM) crosses the process boundary; the proof byte-equals
+    the host engine's with pinned r, s and verifies.  BASELINE's
+    N>=2-host config exercised end to end without TPU hardware."""
+    port = _free_port()
+    workers = []
+    script = tmp_path / "worker_prove.py"
+    script.write_text(PROVE_WORKER)
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            ZA_REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ZA_DIST=f"localhost:{port},2,{pid}",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        env.pop("JAX_COORDINATOR_ADDRESS", None)
+        workers.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for w in workers:
+        try:
+            out, _ = w.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for ww in workers:
+                ww.kill()
+            raise
+        outs.append(out)
+    for i, (w, out) in enumerate(zip(workers, outs)):
+        assert w.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+    assert "MULTIHOST_PROVE_OK" in outs[0], outs[0][-4000:]
+
+
 @pytest.mark.slow
 def test_two_process_sharded_ntt(tmp_path):
     port = _free_port()

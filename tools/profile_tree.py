@@ -69,19 +69,21 @@ ops = EC.make_g1_ops_rns()
 import za_tpu.engine.pallas_tree as PTF
 
 fn = jax.jit(
-    lambda tx, ty, s: PTF.msm_tree_fused(
-        MT.AffineTables(tx=tx, ty=ty, n=0, is_g2=False), s, ops
+    lambda tx, ty, ident, s: PTF.msm_tree_fused(
+        MT.AffineTables(tx=tx, ty=ty, ident=ident, n=0, is_g2=False),
+        s, ops,
     )
 )
-timeit("tree fused (pallas)", fn, tabs.tx, tabs.ty, sc)
+timeit("tree fused (pallas)", fn, tabs.tx, tabs.ty, tabs.ident, sc)
 
 if os.environ.get("PT_XLA_TREE", "0") == "1":
     fn = jax.jit(
-        lambda tx, ty, s: MT.msm_affine_tree(
-            MT.AffineTables(tx=tx, ty=ty, n=0, is_g2=False), s, ops
+        lambda tx, ty, ident, s: MT.msm_affine_tree(
+            MT.AffineTables(tx=tx, ty=ty, ident=ident, n=0,
+                            is_g2=False), s, ops
         )
     )
-    timeit("tree XLA", fn, tabs.tx, tabs.ty, sc)
+    timeit("tree XLA", fn, tabs.tx, tabs.ty, tabs.ident, sc)
 
 # pallas kernel comparison at same (M, n)
 staged = eng.stage_g1_stacked([points] * M)

@@ -354,6 +354,192 @@ class WitnessProgram:
         self.tape = tape
         self.signals_meta = signals_meta    # [(full_name, xtype)] id-ordered
         self.signal_nodes = signal_nodes    # nid | -1-const_nid | None
+        self._packed_cache = None
+
+    # -- native replay ---------------------------------------------------------
+    # The tape packs once per process into flat numpy arrays consumed
+    # by the C interpreter (native/wtrace_replay.c, ~40x the Python
+    # loop); Python replay remains the fallback when no compiler is
+    # available (native/__init__.py returns None).
+
+    def _packed(self):
+        if self._packed_cache is not None:
+            return self._packed_cache
+        import numpy as np
+
+        n = len(self.tape)
+        op = np.zeros(n, np.uint8)
+        a0 = np.zeros(n, np.int64)
+        a1 = np.zeros(n, np.int64)
+        a2 = np.zeros(n, np.int64)
+        consts: list[int] = []
+        for i, e in enumerate(self.tape):
+            o = e[0]
+            op[i] = o
+            if o == OP_INPUT:
+                a0[i] = e[1]
+            elif o == OP_CONST:
+                a0[i] = len(consts)
+                consts.append(e[1])
+            elif o == OP_GUARD_CMP:
+                a0[i] = e[2]
+                a1[i] = e[3]
+                a2[i] = (e[1] << 1) | int(bool(e[4]))
+            elif o == OP_GUARD_ZERO:
+                a0[i] = e[1]
+                a2[i] = int(bool(e[2]))
+            elif o == OP_GUARD_INT:
+                a0[i] = e[1]
+                if e[2] is not None:
+                    a1[i] = np.uint64(e[2]).astype(np.int64)
+                    a2[i] = 1
+            elif o in (OP_NEG, OP_INV):
+                a0[i] = e[1]
+            else:  # binary arithmetic
+                a0[i] = e[1]
+                a1[i] = e[2]
+        cl = np.zeros((max(len(consts), 1), 4), np.uint64)
+        mask = (1 << 64) - 1
+        for j, v in enumerate(consts):
+            for k in range(4):
+                cl[j, k] = (v >> (64 * k)) & mask
+        self._packed_cache = (op, a0, a1, a2, cl)
+        return self._packed_cache
+
+    def replay_limbs(self, inputs: dict[str, int]):
+        """Native replay: per-node values as an (n, 4) u64 limb array,
+        or None when the native library is unavailable.  Raises
+        TraceMismatch on guard divergence / arithmetic error, exactly
+        like replay_values."""
+        from ..native import wtrace_lib
+
+        lib = wtrace_lib()
+        if lib is None:
+            return None
+        if set(inputs) != set(self.input_names):
+            raise TraceMismatch("input name set differs from recording")
+        import ctypes
+
+        import numpy as np
+
+        op, a0, a1, a2, cl = self._packed()
+        mask = (1 << 64) - 1
+        inp = np.zeros((max(len(self.input_names), 1), 4), np.uint64)
+        for j, name in enumerate(self.input_names):
+            v = inputs[name] % R
+            for k in range(4):
+                inp[j, k] = (v >> (64 * k)) & mask
+        vals = np.empty((len(op), 4), np.uint64)
+        err = ctypes.c_int64(-1)
+        p = lambda arr, t: arr.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+        rc = lib.za_wtrace_replay(
+            len(op),
+            p(op, ctypes.c_uint8),
+            p(a0, ctypes.c_int64), p(a1, ctypes.c_int64),
+            p(a2, ctypes.c_int64),
+            p(cl, ctypes.c_uint64), p(inp, ctypes.c_uint64),
+            p(vals, ctypes.c_uint64),
+            ctypes.byref(err),
+        )
+        if rc:
+            kind = {1: "guard", 2: "arithmetic", 3: "opcode"}.get(
+                rc, str(rc)
+            )
+            raise TraceMismatch(f"native {kind} divergence @{err.value}")
+        return vals
+
+    # -- direct-to-assignment replay -------------------------------------------
+
+    def meta_signals(self):
+        """A value-free Signals store with the recording run's layout
+        (names + types): enough for R1CS.from_constraints, built once
+        so repeat proves skip the 1M-object witness-store rebuild."""
+        from .signals import Signals
+
+        s = Signals()
+        for name, xtype in self.signals_meta[1:]:
+            s.insert(name, xtype, None)
+        return s
+
+    def run_z(self, inputs: dict[str, int], r1cs):
+        """Replay straight into the R1CS variable assignment.
+
+        Returns (z_limbs, z_head) where z_limbs is the (16, num_vars)
+        u16-limb u32 array the engine consumes directly and z_head is
+        the plain-int prefix z[0:num_inputs] (public inputs for the
+        verifier).  Falls back to the Python tape when the native
+        library is unavailable."""
+        import numpy as np
+
+        nv = r1cs.num_vars
+        # var -> node map (cached): node >= 0 tape value, node < 0 const
+        vmap = getattr(self, "_var_nodes", None)
+        if vmap is None or len(vmap) != nv:
+            vmap = np.full(nv, -1, np.int64)
+            cvals = np.zeros((nv, 4), np.uint64)
+            mask = (1 << 64) - 1
+            for sid, node in enumerate(self.signal_nodes):
+                v = (
+                    r1cs.var_of_signal[sid]
+                    if sid < len(r1cs.var_of_signal) else None
+                )
+                if v is None:
+                    continue
+                if node is None:
+                    raise TraceMismatch(
+                        f"signal {self.signals_meta[sid][0]} untraced"
+                    )
+                if node >= 0:
+                    vmap[v] = node
+                else:
+                    cv = self.tape[-1 - node][1]
+                    for k in range(4):
+                        cvals[v, k] = (cv >> (64 * k)) & mask
+            self._var_nodes = vmap
+            self._var_consts = cvals
+        cvals = self._var_consts
+
+        vals = self.replay_limbs(inputs)
+        if vals is None:  # Python fallback
+            ints = self.replay_values(inputs)
+            z = [0] * nv
+            mask = (1 << 64) - 1
+            zl = np.zeros((nv, 4), np.uint64)
+            for v in range(nv):
+                node = int(vmap[v])
+                val = (
+                    ints[node] if node >= 0
+                    else int(
+                        cvals[v, 0] | (int(cvals[v, 1]) << 64)
+                        | (int(cvals[v, 2]) << 128)
+                        | (int(cvals[v, 3]) << 192)
+                    )
+                )
+                z[v] = val
+                for k in range(4):
+                    zl[v, k] = (val >> (64 * k)) & mask
+            z_limbs = self._u64_to_limbs16(zl)
+            return z_limbs, z[: r1cs.num_inputs]
+
+        picked = np.where(
+            (vmap >= 0)[:, None], vals[np.maximum(vmap, 0)], cvals
+        )  # (nv, 4) u64
+        z_limbs = self._u64_to_limbs16(picked)
+        head = [
+            int(picked[v, 0]) | (int(picked[v, 1]) << 64)
+            | (int(picked[v, 2]) << 128) | (int(picked[v, 3]) << 192)
+            for v in range(r1cs.num_inputs)
+        ]
+        return z_limbs, head
+
+    @staticmethod
+    def _u64_to_limbs16(zl):
+        """(nv, 4) u64 -> (16, nv) u32 of 16-bit limbs (engine witness
+        layout, engine/field.py)."""
+        import numpy as np
+
+        b = zl.astype("<u8").view(np.uint16).reshape(zl.shape[0], 16)
+        return np.ascontiguousarray(b.T).astype(np.uint32)
 
     # -- replay ----------------------------------------------------------------
 
@@ -409,13 +595,26 @@ class WitnessProgram:
         from ..algebra import Value
         from .signals import Signals
 
-        vals = self.replay_values(inputs)
+        limbs = self.replay_limbs(inputs)  # native; None -> Python tape
+        if limbs is None:
+            vals = self.replay_values(inputs)
+
+            def node_val(node):
+                return vals[node]
+        else:
+            def node_val(node):
+                row = limbs[node]
+                return (
+                    int(row[0]) | (int(row[1]) << 64)
+                    | (int(row[2]) << 128) | (int(row[3]) << 192)
+                )
+
         signals = Signals()
         for i, (full_name, xtype) in enumerate(self.signals_meta):
             node = self.signal_nodes[i]
             if node is None:
                 raise TraceMismatch(f"signal {full_name} untraced")
-            v = vals[node] if node >= 0 else self.tape[-1 - node][1]
+            v = node_val(node) if node >= 0 else self.tape[-1 - node][1]
             if i == 0:
                 signals.ids[0].value = Value(FS(v))  # pre-inserted "one"
             else:

@@ -182,9 +182,13 @@ class TpuEngine:
         # (TPU, G1, single device, n >= _tree_min).
         import os as _os
 
+        # default-on wherever the rns engine runs on TPU -- including
+        # multi-chip: the mesh path shards the staged tables' chunk
+        # axis and runs the SAME fused kernels per chip
+        # (mesh.sharded_tree_msm_fn), so scaling no longer drops to
+        # the ~4x-slower XLA kernels
         self.msm_tree = (
             msm_style == "rns"
-            and self.mesh is None
             and jax.default_backend() == "tpu"
             and _os.environ.get("ZA_MSM_TREE", "1") != "0"
         )
@@ -195,6 +199,10 @@ class TpuEngine:
         self._tree_min = int(
             _os.environ.get("ZA_TREE_MIN", str(1 << 15))
         )
+        # resolved ONCE here (not at staging time) so toggling the env
+        # var between proves cannot silently reuse stale staged tables
+        # of the other layout -- the flag is part of stage_params' key
+        self._tree_g2 = _os.environ.get("ZA_TREE_G2", "1") != "0"
         self._domains: dict[int, NTT.DeviceDomain] = {}
         self._jit_cache: dict = {}
 
@@ -338,7 +346,7 @@ class TpuEngine:
         )
         if curve_check:
             self._assert_g1_on_curve(staged)
-        return staged
+        return self._globalize_stacked(staged)
 
     def stage_g2_stacked(self, queries, curve_check: bool = False,
                          n_pad: int | None = None):
@@ -375,9 +383,97 @@ class TpuEngine:
             )
         if curve_check:
             self._assert_g2_on_curve(staged)
-        return staged
+        return self._globalize_stacked(staged)
+
+    def _globalize_stacked(self, staged):
+        """Multi-process: re-place stacked query trees as global
+        arrays sharded on the point axis (the dense mesh MSM's
+        in_spec); single-process/no-mesh: pass through."""
+        if not self._multiproc():
+            return staged
+        from jax.sharding import PartitionSpec as P
+
+        from . import mesh as MESH
+
+        def put(a):
+            spec = P(*([None] * (a.ndim - 1)), MESH.AXIS)
+            return self._gput(np.asarray(a), spec)
+
+        return jax.tree_util.tree_map(put, staged)
 
     # -- batch-affine tree staging (engine/msm_tree) -----------------
+
+    def _chunked_scatter_jit(self, shape, dtype, k: int):
+        """In-place chunked-table assembly: the (C, ...) destination is
+        DONATED, each block rechunks to (k, ..., S) and lands with one
+        dynamic_update_slice -- no whole-table concatenate/moveaxis
+        transients (the round-4 G2 staging at 2^20 tripped HBM on
+        exactly those; LADDER_r04 note)."""
+        key = ("scatter", shape, str(dtype), k)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            S = shape[-1]
+
+            def fn_(big, blk, c0):
+                # blk (..., k*S) -> (k, ..., S)
+                r = blk.reshape(blk.shape[:-1] + (k, S))
+                r = jnp.moveaxis(r, -2, 0)
+                idx = (c0,) + (0,) * (len(shape) - 1)
+                return jax.lax.dynamic_update_slice(big, r, idx)
+
+            fn = jax.jit(fn_, donate_argnums=0)
+            self._jit_cache[key] = fn
+        return fn
+
+    def _assemble_tables(self, build_blocks, C: int, S: int, M: int,
+                         n: int, is_g2: bool, block: int):
+        """Drive block-wise table builds into a preallocated chunked
+        device layout (see _chunked_scatter_jit)."""
+        from . import msm_tree as MT, rns as RNS
+
+        ch = (RNS.N_CH, 2) if is_g2 else (RNS.N_CH,)
+        total = C * S
+        if self._multiproc():
+            # multi-host: blocks build on local devices, assemble in
+            # HOST memory, upload once as a global sharded array
+            htx = np.zeros((C, MT.HALF) + ch + (M, S), np.uint16)
+            hty = np.zeros_like(htx)
+            hid = np.zeros((C, M, S), bool)
+
+            def host_scatter(dst, blk, lo, k):
+                r = np.asarray(blk)
+                r = np.moveaxis(
+                    r.reshape(r.shape[:-1] + (k, S)), -2, 0
+                )
+                dst[lo // S : lo // S + k] = r
+
+            for lo in range(0, total, block):
+                hi = min(lo + block, total)
+                k = (hi - lo) // S
+                ax, ay, ident = build_blocks(lo, hi)
+                host_scatter(htx, ax, lo, k)
+                host_scatter(hty, ay, lo, k)
+                host_scatter(hid, ident, lo, k)
+            return self._shard_tables(MT.AffineTables(
+                tx=htx, ty=hty, ident=hid, n=n, is_g2=is_g2,
+            ))
+        u16 = jnp.uint16
+        big_tx = jnp.zeros((C, MT.HALF) + ch + (M, S), dtype=u16)
+        big_ty = jnp.zeros_like(big_tx)
+        big_id = jnp.zeros((C, M, S), dtype=jnp.bool_)
+        for lo in range(0, total, block):
+            hi = min(lo + block, total)
+            k = (hi - lo) // S
+            ax, ay, ident = build_blocks(lo, hi)
+            sc_t = self._chunked_scatter_jit(big_tx.shape, u16, k)
+            sc_i = self._chunked_scatter_jit(big_id.shape, jnp.bool_, k)
+            c0 = jnp.int32(lo // S)
+            big_tx = sc_t(big_tx, ax, c0)
+            big_ty = sc_t(big_ty, ay, c0)
+            big_id = sc_i(big_id, ident, c0)
+        return self._shard_tables(MT.AffineTables(
+            tx=big_tx, ty=big_ty, ident=big_id, n=n, is_g2=is_g2,
+        ))
 
     def stage_g1_affine(self, queries, n_pad: int | None = None,
                         curve_check: bool = False,
@@ -394,14 +490,15 @@ class TpuEngine:
         default_chunk = int(_os.environ.get("ZA_TREE_CHUNK", str(1 << 15)))
         S = min(chunk or default_chunk, _pad_pow2ish(n))
         C = -(-n // S)
+        if self._mesh_d > 1:  # chunk axis shards across the mesh
+            C = -(-C // self._mesh_d) * self._mesh_d
         total = C * S
         coords = [self._g1_limb_coords(q, total) for q in queries]
         M = len(queries)
         if block % S:
             block = S * max(block // S, 1)
-        xs, ys = [], []
-        for lo in range(0, total, block):
-            hi = min(lo + block, total)
+
+        def build(lo, hi):
             big = [
                 np.concatenate([c[i][:, lo:hi] for c in coords], axis=1)
                 for i in range(3)
@@ -414,10 +511,10 @@ class TpuEngine:
             )
             if curve_check:
                 self._assert_g1_on_curve(staged)
-            ax, ay = MT.build_tables_block(staged, is_g2=False)
-            xs.append(ax)
-            ys.append(ay)
-        return MT.chunkify_tables(xs, ys, C, S, n, is_g2=False)
+            return MT.build_tables_block(staged, is_g2=False)
+
+        return self._assemble_tables(build, C, S, M, n, is_g2=False,
+                                     block=block)
 
     def stage_g2_affine(self, queries, n_pad: int | None = None,
                         curve_check: bool = False,
@@ -431,14 +528,15 @@ class TpuEngine:
         default_chunk = int(_os.environ.get("ZA_TREE_CHUNK", str(1 << 15)))
         S = min(chunk or default_chunk, _pad_pow2ish(n))
         C = -(-n // S)
+        if self._mesh_d > 1:
+            C = -(-C // self._mesh_d) * self._mesh_d
         total = C * S
         coords = [self._g2_limb_coords(q, total) for q in queries]
         M = len(queries)
         if block % S:
             block = S * max(block // S, 1)
-        xs, ys = [], []
-        for lo in range(0, total, block):
-            hi = min(lo + block, total)
+
+        def build(lo, hi):
             blk = hi - lo
 
             def cv(i):
@@ -458,13 +556,56 @@ class TpuEngine:
             staged = tuple(cv(i) for i in (0, 2, 4))
             if curve_check:
                 self._assert_g2_on_curve(staged)
-            ax, ay = MT.build_tables_block(staged, is_g2=True)
-            xs.append(ax)
-            ys.append(ay)
-        return MT.chunkify_tables(xs, ys, C, S, n, is_g2=True)
+            return MT.build_tables_block(staged, is_g2=True)
+
+        return self._assemble_tables(build, C, S, M, n, is_g2=True,
+                                     block=block)
+
+    def _multiproc(self) -> bool:
+        """True when this engine runs under jax.distributed with >1
+        process: every host->device upload that feeds a sharded jit
+        must then build a GLOBAL array (each process contributes the
+        shards its local devices own)."""
+        return self.mesh is not None and jax.process_count() > 1
+
+    def _gput(self, arr, spec):
+        """Host array -> device array placed per `spec` over the mesh:
+        device_put single-process, global-array assembly multi-process
+        (engine/dist.py, the DCN path)."""
+        from jax.sharding import NamedSharding
+
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        if not self._multiproc():
+            return jax.device_put(
+                jnp.asarray(arr), NamedSharding(self.mesh, spec)
+            )
+        from . import dist as DIST
+
+        return DIST.host_to_global(self.mesh, np.asarray(arr), spec)
+
+    def _shard_tables(self, tabs):
+        """Place chunked affine tables with the chunk axis sharded
+        over the mesh (no-op single-device)."""
+        if self.mesh is None:
+            return tabs
+        from dataclasses import replace
+
+        from jax.sharding import PartitionSpec as P
+
+        from . import mesh as MESH
+
+        def put(a):
+            spec = P(MESH.AXIS, *([None] * (a.ndim - 1)))
+            if self._multiproc():
+                a = np.asarray(a)  # local build -> global assembly
+            return self._gput(a, spec)
+
+        return replace(tabs, tx=put(tabs.tx), ty=put(tabs.ty),
+                       ident=put(tabs.ident))
 
     def _tree_jit(self, kind: str, C: int, S: int, M: int):
-        key = ("tree", kind, C, S, M)
+        key = ("tree", kind, C, S, M, self._mesh_d)
         if key not in self._jit_cache:
             from . import msm_tree as MT
 
@@ -473,6 +614,13 @@ class TpuEngine:
                 ec.make_g2_ops_rns() if is_g2 else ec.make_g1_ops_rns()
             )
             fused = jax.default_backend() == "tpu"
+            if self.mesh is not None:
+                from . import mesh as MESH
+
+                self._jit_cache[key] = MESH.sharded_tree_msm_fn(
+                    self.mesh, ops, is_g2, fused
+                )
+                return self._jit_cache[key]
             if fused:
                 from . import pallas_tree as PT
 
@@ -480,15 +628,15 @@ class TpuEngine:
                     PT.msm_tree_fused_g2 if is_g2 else PT.msm_tree_fused
                 )
 
-                def run(tx, ty, scalars):
+                def run(tx, ty, ident, scalars):
                     tabs = MT.AffineTables(
-                        tx=tx, ty=ty, n=0, is_g2=is_g2
+                        tx=tx, ty=ty, ident=ident, n=0, is_g2=is_g2
                     )
                     return fn2(tabs, scalars, ops)
             else:
-                def run(tx, ty, scalars):
+                def run(tx, ty, ident, scalars):
                     tabs = MT.AffineTables(
-                        tx=tx, ty=ty, n=0, is_g2=is_g2
+                        tx=tx, ty=ty, ident=ident, n=0, is_g2=is_g2
                     )
                     return MT.msm_affine_tree(tabs, scalars, ops)
 
@@ -529,7 +677,9 @@ class TpuEngine:
             scalars = st.done(fn(*devs))
         with _StageTimer(f"msm.{kind}.tree[C={C},S={S},M={M}]") as st:
             X, Y, Z = st.done(
-                self._tree_jit(kind, C, S, M)(tabs.tx, tabs.ty, scalars)
+                self._tree_jit(kind, C, S, M)(
+                    tabs.tx, tabs.ty, tabs.ident, scalars
+                )
             )
         return self._msm_unstage(kind, X, Y, Z, M)
 
@@ -614,6 +764,106 @@ class TpuEngine:
 
             raise FormatError("pk g2 query point not on curve")
 
+    # -- device-layout pk disk cache ----------------------------------
+    # The staged affine tables cost ~40-60 s of XLA table-building per
+    # process (SURVEY.md section 5 checkpoint row: "limb-packed
+    # device-layout cache").  stage_params persists them next to the
+    # pk (<pk>.devcache, hooked up by helper.prove) keyed by pk digest
+    # + layout metadata; later processes upload the saved bytes
+    # instead of rebuilding.
+
+    DEVCACHE_VERSION = 1
+
+    def _devcache_meta(self) -> dict:
+        import os as _os
+
+        return {
+            "version": self.DEVCACHE_VERSION,
+            "msm_style": self.msm_style,
+            "mesh_d": self._mesh_d,
+            "tree_g2": self._tree_g2,
+            "tree_min": self._tree_min,
+            "chunk": int(
+                _os.environ.get("ZA_TREE_CHUNK", str(1 << 15))
+            ),
+        }
+
+    def _load_devcache(self, path: str, digest: str):
+        import json
+        import os as _os
+
+        from . import msm_tree as MT
+
+        if not _os.path.exists(path):
+            return None
+        try:
+            z = np.load(path, allow_pickle=False)
+            meta = json.loads(bytes(z["meta"]).decode())
+            want = dict(self._devcache_meta(), digest=digest)
+            if meta != want:
+                return None
+            staged = {}
+            for name in ("g1abl", "g1h"):
+                staged[name] = self._shard_tables(MT.AffineTables(
+                    tx=jnp.asarray(z[f"{name}_tx"]),
+                    ty=jnp.asarray(z[f"{name}_ty"]),
+                    ident=jnp.asarray(z[f"{name}_id"]),
+                    n=int(z[f"{name}_n"]), is_g2=False,
+                ))
+            if "b_g2x_tx" in z.files:
+                staged["b_g2x"] = self._shard_tables(MT.AffineTables(
+                    tx=jnp.asarray(z["b_g2x_tx"]),
+                    ty=jnp.asarray(z["b_g2x_ty"]),
+                    ident=jnp.asarray(z["b_g2x_id"]),
+                    n=int(z["b_g2x_n"]), is_g2=True,
+                ))
+            else:  # dense-staged G2 (small query / ZA_TREE_G2=0)
+                staged["b_g2x"] = tuple(
+                    jnp.asarray(z[f"b_g2x_{i}"]) for i in range(3)
+                )
+            return staged
+        except Exception as exc:  # noqa: BLE001 -- cache is best-effort
+            _metrics_log.info("devcache load failed (%s); restaging", exc)
+            return None
+
+    def _save_devcache(self, path: str, digest: str, staged) -> None:
+        import json
+        import os as _os
+
+        from . import msm_tree as MT
+
+        try:
+            arrs = {}
+            for name in ("g1abl", "g1h"):
+                t = staged[name]
+                arrs[f"{name}_tx"] = np.asarray(t.tx)
+                arrs[f"{name}_ty"] = np.asarray(t.ty)
+                arrs[f"{name}_id"] = np.asarray(t.ident)
+                arrs[f"{name}_n"] = np.int64(t.n)
+            b2 = staged["b_g2x"]
+            if isinstance(b2, MT.AffineTables):
+                arrs["b_g2x_tx"] = np.asarray(b2.tx)
+                arrs["b_g2x_ty"] = np.asarray(b2.ty)
+                arrs["b_g2x_id"] = np.asarray(b2.ident)
+                arrs["b_g2x_n"] = np.int64(b2.n)
+            else:
+                for i, a in enumerate(b2):
+                    arrs[f"b_g2x_{i}"] = np.asarray(a)
+            meta = dict(self._devcache_meta(), digest=digest)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(
+                    f,
+                    meta=np.frombuffer(
+                        json.dumps(meta, sort_keys=True).encode(),
+                        dtype=np.uint8,
+                    ),
+                    **arrs,
+                )
+            _os.replace(tmp, path)
+        except Exception as exc:  # noqa: BLE001
+            _metrics_log.info("devcache save failed: %s", exc)
+
     def stage_params(self, params, r1cs):
         """Stage the pk query vectors (a / b_g1 / l / h / b_g2) onto the
         device ONCE per process, cached on the params object: repeat
@@ -624,7 +874,8 @@ class TpuEngine:
         The four G1 queries are padded to one power-of-two length and
         staged as a single pre-stacked (35, 4, n) tree, so every prove
         dispatches the grouped MSM kernel directly on resident HBM."""
-        key = (self.msm_style, self._mesh_d, self.msm_tree)
+        key = (self.msm_style, self._mesh_d, self.msm_tree,
+               self._tree_g2, self._tree_min)
         cached = getattr(params, "_staged_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -662,6 +913,14 @@ class TpuEngine:
             # tree staging is chunk-aligned, not pow2-padded: a query
             # barely over 2^k stays ~2^k (the dense kernel's pow2ish
             # padding would double the tables AND the MSM work)
+            cache_path = getattr(params, "_devcache_path", None)
+            digest = getattr(params, "_devcache_digest", "")
+            if cache_path:
+                with _StageTimer("stage.devcache.load"):
+                    staged = self._load_devcache(cache_path, digest)
+                if staged is not None:
+                    params._staged_cache = (key, staged)
+                    return staged
             with _StageTimer("stage.tree.g1abl") as st:
                 g1abl = self.stage_g1_affine(
                     [params.a, params.b_g1, params.l],
@@ -674,13 +933,9 @@ class TpuEngine:
                 )
                 st.done(g1h.tx)
             with _StageTimer("stage.tree.b_g2") as st:
-                # ZA_TREE_G2=0 pins G2 to the dense kernel: at the
-                # 2^20 ladder the tree-G2 staging layout currently
-                # trips an HBM allocator limit (LADDER_r04 note)
-                import os as _os
-
-                tree_g2 = _os.environ.get("ZA_TREE_G2", "1") != "0"
-                if tree_g2 and n2 >= self._tree_min:
+                # ZA_TREE_G2=0 pins G2 to the dense kernel (escape
+                # hatch; resolved once in __init__ -- cache-key safe)
+                if self._tree_g2 and n2 >= self._tree_min:
                     b_g2x = self.stage_g2_affine(
                         [params.b_g2], curve_check=raw
                     )
@@ -691,6 +946,9 @@ class TpuEngine:
                     )
                     st.done(b_g2x)
             staged = {"g1abl": g1abl, "g1h": g1h, "b_g2x": b_g2x}
+            if cache_path:
+                with _StageTimer("stage.devcache.save"):
+                    self._save_devcache(cache_path, digest, staged)
             params._staged_cache = (key, staged)
             return staged
         with _StageTimer("stage.g1x4") as st:
@@ -742,9 +1000,29 @@ class TpuEngine:
                     else ec.make_g2_ops_rns()
                 )
                 if self.mesh is not None:
+                    import os as _os2
+
                     from . import mesh as MESH
 
                     n_loc = max(n // self._mesh_d, 1)
+                    # multi-chip runs the SAME fused Pallas kernel per
+                    # shard as single-chip (windows combined with
+                    # all_gather + point-reduce over ICI); the XLA
+                    # formulation stays as the CPU-mesh/test path
+                    use_pallas = (
+                        jax.default_backend() == "tpu"
+                        and n_loc >= 2048
+                        and _os2.environ.get("ZA_PALLAS_MSM", "1")
+                        != "0"
+                    )
+                    if use_pallas:
+                        self._jit_cache[key] = (
+                            MESH.sharded_dense_pallas_msm_fn(
+                                self.mesh, ops, is_g2=(kind == "g2"),
+                                lanes=min(self.lanes or 128, 128),
+                            )
+                        )
+                        return self._jit_cache[key]
                     L = 1
                     while L * 2 <= min(self.lanes or 128, n_loc):
                         L *= 2
@@ -1025,7 +1303,8 @@ class TpuEngine:
             def run(z_mont, coeffs, colidx, rowidx):
                 prod = F.mont_mul(coeffs, z_mont[:, colidx], FR)
                 sums = jax.ops.segment_sum(
-                    prod.T, rowidx, num_segments=m
+                    prod.T, rowidx, num_segments=m,
+                    indices_are_sorted=True,
                 ).T  # (16, m) digit sums < 2^32
                 # widen to 32 columns (< 2^17 digits) then REDC -> plain
                 lo = sums & F.MASK
@@ -1107,7 +1386,9 @@ class TpuEngine:
         reference's satisfies_with_signals, constraint.rs:29-67, which
         is a host-side Python loop in the golden model)."""
         n = max(r1cs.num_constraints, 1)
-        if self.mesh is None and self.msm_style == "rns":
+        if self.msm_style == "rns":
+            if self.mesh is not None:
+                return self._r1cs_satisfied_rns_mesh(r1cs, z, n)
             return self._r1cs_satisfied_rns(r1cs, z, n)
         a_ent, b_ent, c_ent = self._r1cs_entries(r1cs)
         z_mont = _to_mont_fr(F.ints_to_limbs([v % R for v in z]))
@@ -1138,6 +1419,61 @@ class TpuEngine:
                 d = RNS.ch_sub_off(lhs, rhs, ctx,
                                    off_vec=ctx.sub_off8)     # < 12N
                 plain = RNS.from_mont_rns(d, ctx)            # < 4N
+                limbs = RNS.rns_to_limbs_exact(
+                    plain, ctx, nlimbs=16, reduce_mod=ctx.modulus
+                )
+                return jnp.all(limbs == 0)
+
+            fn = jax.jit(fn_)
+            self._jit_cache[("rns_piece", "sat")] = fn
+        return bool(fn(*legs))
+
+    def _r1cs_satisfied_rns_mesh(self, r1cs: R1CS, z, n: int) -> bool:
+        """Sat check with the A/B/C matvecs sharded by constraint-row
+        block over the mesh (the h-pipeline's matvec layout; padded
+        rows are all-zero and trivially satisfied)."""
+        from jax.sharding import PartitionSpec as P
+
+        from . import mesh as MESH, rns as RNS
+
+        D = self._mesh_d
+        m = -(-n // D) * D
+        ent = getattr(r1cs, "_dev_entries_sat_rns", None)
+        if ent is None or ent[0] != m:
+            A = MESH.AXIS
+            packed = tuple(
+                (
+                    self._gput(e[0], P(A, None, None)),
+                    self._gput(e[1], P(A, None)),
+                    self._gput(e[2], P(A, None)),
+                )
+                for e in (
+                    self._pack_rows_sharded_rns(rows, m, D)
+                    for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)
+                )
+            )
+            ent = (m, packed)
+            r1cs._dev_entries_sat_rns = ent
+        _, packed = ent
+        nnz = packed[0][1].shape[1]
+        mv_key = ("mesh_mv_rns", m, nnz)
+        mv = self._jit_cache.get(mv_key)
+        if mv is None:
+            mv = MESH.sharded_matvec_rns_fn(self.mesh, m, nnz)
+            self._jit_cache[mv_key] = mv
+        z_rns = self._rns_piece_to_mont()(self.witness_limbs_dev(z))
+        legs = [mv(z_rns, *e) for e in packed]
+        ctx = RNS.RR
+        fn = self._jit_cache.get(("rns_piece", "sat"))
+        if fn is None:
+            m1rep = ctx.ints_to_rns([ctx.m1 % ctx.modulus])[:, 0]
+
+            def fn_(az, bz, cz):
+                lhs = RNS.mont_mul_rns(az, bz, ctx)
+                rhs = RNS.mont_mul_rns(cz, RNS._b(m1rep, cz), ctx)
+                d = RNS.ch_sub_off(lhs, rhs, ctx,
+                                   off_vec=ctx.sub_off8)
+                plain = RNS.from_mont_rns(d, ctx)
                 limbs = RNS.rns_to_limbs_exact(
                     plain, ctx, nlimbs=16, reduce_mod=ctx.modulus
                 )
@@ -1279,8 +1615,7 @@ class TpuEngine:
                 coeffs[d, :, : len(c)] = RNS.RR.ints_to_rns(c)
                 cols[d, : len(c)] = v
                 rowids[d, : len(c)] = r
-        return (jnp.asarray(coeffs), jnp.asarray(cols),
-                jnp.asarray(rowids))
+        return (coeffs, cols, rowids)  # host; placed by the caller
 
     def _mesh_h_tools_rns(self, r1cs: R1CS, m: int):
         """Sharded RNS matvec + NTT callables for domain size m."""
@@ -1293,17 +1628,31 @@ class TpuEngine:
             dd = MESH.ShardedRnsDomain(m, D)
             tools = {
                 "ntt": MESH.sharded_ntt_rns_fn(self.mesh, dd,
-                                               inverse=False),
+                                               inverse=False,
+                                               gput=self._gput),
                 "intt": MESH.sharded_ntt_rns_fn(self.mesh, dd,
-                                                inverse=True),
+                                                inverse=True,
+                                                gput=self._gput),
             }
             self._jit_cache[key] = tools
         ent = getattr(r1cs, "_dev_entries_sharded_rns", None)
         if ent is None:
+            from jax.sharding import PartitionSpec as P
+
+            from . import mesh as MESH
+
             D = self._mesh_d
+            A = MESH.AXIS
             ent = tuple(
-                self._pack_rows_sharded_rns(rows, m, D)
-                for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)
+                (
+                    self._gput(e[0], P(A, None, None)),
+                    self._gput(e[1], P(A, None)),
+                    self._gput(e[2], P(A, None)),
+                )
+                for e in (
+                    self._pack_rows_sharded_rns(rows, m, D)
+                    for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)
+                )
             )
             r1cs._dev_entries_sharded_rns = ent
         nnz = ent[0][1].shape[1]
@@ -1329,9 +1678,13 @@ class TpuEngine:
         tools, ent, mv = self._mesh_h_tools_rns(r1cs, m)
         z_rns = self._rns_piece_to_mont()(self.witness_limbs_dev(z))
 
+        from jax.sharding import PartitionSpec as P
+
         n = r1cs.num_constraints
         az0 = self._rns_az0_jit(m, n, r1cs.num_inputs)(z_rns)
-        zero0 = jnp.zeros((RNS.N_CH, m), dtype=jnp.uint32)
+        zero0 = self._gput(
+            np.zeros((RNS.N_CH, m), dtype=np.uint32), P(None, None)
+        )
         finish = self._rns_piece("mv_finish")
         scale = self._rns_piece_scale()
 
@@ -1364,18 +1717,22 @@ class TpuEngine:
         key = ("rns_mesh_scal", m)
         d = self._jit_cache.get(key)
         if d is None:
+            from jax.sharding import PartitionSpec as P
+
             from ..groth16.domain import Domain as HostDomain
 
             h = HostDomain(m)
             d = {
-                "coset_pow": jnp.asarray(
-                    NR._mont_table(NR._pow_list(h.coset_gen, m))
+                "coset_pow": self._gput(
+                    NR._mont_table(NR._pow_list(h.coset_gen, m)),
+                    P(None, None),
                 ),
-                "coset_inv": jnp.asarray(
-                    NR._mont_table(NR._pow_list(h.coset_gen_inv, m))
+                "coset_inv": self._gput(
+                    NR._mont_table(NR._pow_list(h.coset_gen_inv, m)),
+                    P(None, None),
                 ),
-                "z_coset_inv": jnp.asarray(
-                    NR._mont_table([h.z_coset_inv])
+                "z_coset_inv": self._gput(
+                    NR._mont_table([h.z_coset_inv]), P(None, None)
                 ),
             }
             self._jit_cache[key] = d
@@ -1454,7 +1811,8 @@ class TpuEngine:
             def run(z_rns, coeffs, colidx, rowidx):
                 prod = RNS.mont_mul_rns(coeffs, z_rns[:, colidx], ctx)
                 sums = jax.ops.segment_sum(
-                    prod.T, rowidx, num_segments=m
+                    prod.T, rowidx, num_segments=m,
+                    indices_are_sorted=True,
                 ).T  # (35, m) u32 channel sums
                 p = ctx.p[:, None]
                 canon = RNS._fold3(sums, ctx.eps[:, None], p)
@@ -1560,6 +1918,14 @@ class TpuEngine:
         (cached per witness object)."""
         if isinstance(z, jnp.ndarray):
             return z
+        if self._multiproc():
+            from jax.sharding import PartitionSpec as P
+
+            if isinstance(z, np.ndarray):
+                arr = z.astype(np.uint32)
+            else:
+                arr = F.ints_to_limbs([v % R for v in z])
+            return self._gput(arr, P(None, None))  # replicated global
         widen = self._jit_cache.get("widen_u16")
         if widen is None:
             widen = jax.jit(lambda a: a.astype(jnp.uint32))

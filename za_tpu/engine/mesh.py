@@ -225,6 +225,116 @@ def sharded_signed_msm_fn(mesh: Mesh, ops, c: int = 4, lanes: int = 8,
     return run
 
 
+# -- sharded batch-affine tree MSM (multi-chip production path) ---------------
+# The staged AffineTables' chunk axis C is sharded across the mesh
+# (C % D == 0, staging pads the chunk count); each chip runs the SAME
+# per-chunk kernels as single-chip (Pallas-fused tree levels on TPU,
+# the XLA tree elsewhere) over its local chunks, producing per-window
+# projective sums (leaves (35[,2], W, M)); an all_gather + point-add
+# reduce over ICI combines windows across chips; Horner runs
+# replicated.  This keeps multi-chip on the FAST kernels -- the XLA
+# sharded_signed_msm_fn path measures ~4x slower per chip.
+
+
+def _gather_reduce_horner(wsum, ops, is_g2: bool, window_bits: int = 4):
+    """all_gather per-window sums over the mesh axis, point-add reduce
+    across devices, Horner combine (replicated); returns leaves with a
+    leading device axis (see msm_limbs_sharded)."""
+    gathered = jax.lax.all_gather(wsum, AXIS)  # leaves (D, .., W, M)
+    fst = jax.tree_util.tree_map(lambda x: x[0], gathered)
+    rst = jax.tree_util.tree_map(lambda x: x[1:], gathered)
+
+    def dev_body(a, dev):
+        return ec.point_add(a, dev, ops), None
+
+    total, _ = jax.lax.scan(dev_body, fst, rst)
+    result = MSM.horner_windows(total, ops, is_g2, window_bits,
+                                pvary_axis=AXIS)
+    return jax.tree_util.tree_map(lambda x: x[None], result)
+
+
+def sharded_tree_msm_fn(mesh: Mesh, ops, is_g2: bool, fused: bool):
+    """Jitted sharded batch-affine tree MSM over staged AffineTables.
+
+    tx/ty: (C, HALF, 35[, 2], M, S) u16 sharded on C; ident (C, M, S)
+    bool sharded on C; scalars (16, M, C*S) u32 sharded on the point
+    axis (chunk-major layout makes the two shardings line up).
+    C/D local chunks per chip; same kernels as single-chip."""
+    from . import msm_tree as MT
+
+    if fused:
+        from . import pallas_tree as PT
+
+        ws_fn = (
+            PT.tree_window_sums_fused_g2 if is_g2
+            else PT.tree_window_sums_fused
+        )
+    else:
+        ws_fn = partial(MT.tree_window_sums, pvary_axis=AXIS)
+
+    def body(tx, ty, ident, scalars):
+        tabs = MT.AffineTables(tx=tx, ty=ty, ident=ident, n=0,
+                               is_g2=is_g2)
+        wsum = ws_fn(tabs, scalars, ops)
+        return _gather_reduce_horner(wsum, ops, is_g2)
+
+    tab_nd = 6 if is_g2 else 5
+    tab_spec = P(AXIS, *([None] * (tab_nd - 1)))
+    out_nd = 3 if is_g2 else 2  # result leaves (35[, 2], M)
+    out_spec = (P(AXIS, *([None] * out_nd)),) * 3
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(tab_spec, tab_spec, P(AXIS, None, None),
+                  P(None, None, AXIS)),
+        out_specs=out_spec,
+    )
+
+    @jax.jit
+    def run(tx, ty, ident, scalars):
+        out = fn(tx, ty, ident, scalars)
+        return jax.tree_util.tree_map(lambda x: x[0], out)
+
+    return run
+
+
+def sharded_dense_pallas_msm_fn(mesh: Mesh, ops, is_g2: bool,
+                                lanes: int = 128):
+    """Jitted sharded fused-dense MSM: each chip runs the Pallas
+    signed-dense accumulation on its point-stream shard, windows are
+    combined with all_gather + point-add reduce over ICI.  points
+    leaves (35, M, n) / (35, 2, M, n) and scalars (16, M, n) sharded
+    on n; n/D must be a multiple of lanes."""
+    from . import pallas_msm_rns as PMR
+
+    def body(points, scalars):
+        wsum = PMR.dense_window_sums_pallas(points, scalars, ops,
+                                            lanes=lanes)
+        return _gather_reduce_horner(wsum, ops, is_g2)
+
+    if is_g2:
+        pt_spec = (P(None, None, None, AXIS),) * 3
+        out_spec = (P(AXIS, None, None, None),) * 3
+    else:
+        pt_spec = (P(None, None, AXIS),) * 3
+        out_spec = (P(AXIS, None, None),) * 3
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pt_spec, P(None, None, AXIS)),
+        out_specs=out_spec,
+    )
+
+    @jax.jit
+    def run(points, scalars):
+        out = fn(points, scalars)
+        return jax.tree_util.tree_map(lambda x: x[0], out)
+
+    return run
+
+
 # -- sharded R1CS matvec --------------------------------------------------------
 # A/B/C sparse rows partitioned by constraint row (SURVEY.md section
 # 2.4 row 3): each chip owns a contiguous row block [d*m/D, (d+1)*m/D)
@@ -243,7 +353,8 @@ def sharded_matvec_fn(mesh: Mesh, m: int, nnz_shard: int):
     def body(z_mont, coeffs, colidx, rowidx):
         prod = F.mont_mul(coeffs[0], z_mont[:, colidx[0]], FR)
         sums = jax.ops.segment_sum(
-            prod.T, rowidx[0], num_segments=m_loc
+            prod.T, rowidx[0], num_segments=m_loc,
+            indices_are_sorted=True,
         ).T  # (16, m_loc) digit sums
         lo = sums & F.MASK
         hi = sums >> F.LIMB_BITS
@@ -284,7 +395,8 @@ def sharded_matvec_rns_fn(mesh: Mesh, m: int, nnz_shard: int):
     def body(z_rns, coeffs, colidx, rowidx):
         prod = RNS.mont_mul_rns(coeffs[0], z_rns[:, colidx[0]], ctx)
         sums = jax.ops.segment_sum(
-            prod.T, rowidx[0], num_segments=m_loc
+            prod.T, rowidx[0], num_segments=m_loc,
+            indices_are_sorted=True,
         ).T  # (35, m_loc) u32 channel sums
         canon = RNS._fold3(sums, ctx.eps[:, None], ctx.p[:, None])
         # bound reset: full mont mul by rep(M1 mod r) divides by M1,
@@ -549,10 +661,15 @@ def _fourstep_local_rns(x_loc, tw_loc, wd_row, sub_table,
 
 
 def sharded_ntt_rns_fn(mesh: Mesh, dd: "ShardedRnsDomain",
-                       inverse: bool = False):
-    """Jitted sharded RNS NTT: (35, n) sharded on axis 1 -> same."""
-    tw = jnp.asarray(dd.tw_inv if inverse else dd.tw)
-    wd = jnp.asarray(dd.WDinv if inverse else dd.WD)
+                       inverse: bool = False, gput=None):
+    """Jitted sharded RNS NTT: (35, n) sharded on axis 1 -> same.
+
+    gput(arr, spec): optional placement hook for the twiddle tables
+    (multi-host runs must build them as global arrays)."""
+    if gput is None:
+        gput = lambda a, spec: jnp.asarray(a)  # noqa: E731
+    tw = gput(dd.tw_inv if inverse else dd.tw, P(AXIS, None, None))
+    wd = gput(dd.WDinv if inverse else dd.WD, P(AXIS, None, None))
     table = dd.sub_inv if inverse else dd.sub_fwd
 
     def body(x_loc, tw_loc, wd_row):

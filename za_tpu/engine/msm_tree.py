@@ -38,9 +38,11 @@ values mod N) and is not handled: for Groth16 MSM inputs the operands
 of every tree node are sums of disjoint subsets of pk points with
 attacker-independent coefficients, so a collision implies a nontrivial
 discrete-log relation between pk points (probability ~ 2^-230; finding
-one breaks DLOG).  The prover additionally self-verifies every proof
-(groth16/prove.py), so even an astronomically unlikely hit cannot
-produce a wrong proof, only a retry via ZA_MSM_TREE=0.
+one breaks DLOG).  The helper/CLI path (groth16/helper.py) additionally
+self-verifies every proof it emits, so an astronomically unlikely hit
+there cannot produce a wrong proof, only a retry via ZA_MSM_TREE=0;
+direct prove() callers who skip the helper should verify the returned
+proof themselves if they need that fail-stop.
 
 CONTRACT: input points must be pairwise distinct (pk query points
 are).  Synthetic inputs that repeat a point pool whose period divides
@@ -258,7 +260,19 @@ def _pow_fermat(x, exp: int, mul, block: int = 8):
 # -- batch inversion ----------------------------------------------------------
 
 
-def batch_inv(d, fld, group: int = 64, tail: int = 1024):
+def _maybe_pvary(x, axis: str | None):
+    """Mark a constant as device-varying inside shard_map (scan carry
+    type-checking); no-op outside (axis None) or on older jax."""
+    if axis is None:
+        return x
+    try:
+        return jax.lax.pvary(x, axis)
+    except AttributeError:  # older jax: vma tracking absent
+        return x
+
+
+def batch_inv(d, fld, group: int = 64, tail: int = 1024,
+              pvary_axis: str | None = None):
     """Montgomery batch inversion of d (leaves (35[,2], K)) along the
     LAST axis: ~3 muls per element + one narrow Fermat inversion.
 
@@ -273,6 +287,8 @@ def batch_inv(d, fld, group: int = 64, tail: int = 1024):
     G = group
     while K % G:
         G //= 2
+    if G < 2:  # odd K: grouping degenerates; recursing would not shrink
+        return fld.fermat_inv(d)
     KG = K // G
 
     # (.., K) -> (G, .., KG): lane l of group g at position g*KG + l?
@@ -284,10 +300,10 @@ def batch_inv(d, fld, group: int = 64, tail: int = 1024):
         nxt = fld.mul(carry, x)
         return nxt, carry  # prefix EXCLUSIVE of x
 
-    one = fld.one_like(dg[0])
+    one = _maybe_pvary(fld.one_like(dg[0]), pvary_axis)
     total, pre = jax.lax.scan(fwd, one, dg)
     # total: product over the group; pre[s]: product of elements < s
-    tinv = batch_inv(total, fld, group, tail)
+    tinv = batch_inv(total, fld, group, tail, pvary_axis)
 
     def bwd(carry, xs):
         x, p = xs
@@ -302,7 +318,8 @@ def batch_inv(d, fld, group: int = 64, tail: int = 1024):
 # -- affine tree level --------------------------------------------------------
 
 
-def _affine_level(x, y, inf, fld, bx: int, by: int, reset: bool):
+def _affine_level(x, y, inf, fld, bx: int, by: int, reset: bool,
+                  pvary_axis: str | None = None):
     """One tree level: pair adjacent lanes on the last axis and add.
 
     x, y: (35[,2], ..., K) coordinate planes (K even), inf: (..., K)
@@ -323,7 +340,7 @@ def _affine_level(x, y, inf, fld, bx: int, by: int, reset: bool):
     num = fld.sub(y2, y1, by)            # < 2*by
     either = i1 | i2
     den = fld.select(either, fld.one_like(den), den)
-    dinv = batch_inv(den, fld)
+    dinv = batch_inv(den, fld, pvary_axis=pvary_axis)
     lam = fld.mul(num, dinv)
     t = fld.mul(lam, lam)
     sx = fld.add(x1, x2)                 # < 2*bx
@@ -374,11 +391,18 @@ class AffineTables:
     """Staged MSM operand: u16 affine multiple tables, chunked.
 
     tx, ty: (C, HALF, 35[, 2], M, S) uint16 device arrays
+    ident:  (C, M, S) bool -- identity INPUT columns (pk queries carry
+            None points at non-dense slots, setup.expand_queries).
+            Their staged tables are bounded garbage (no affine form of
+            infinity exists); the MSMs zero these columns' digits so
+            selection flags them at infinity REGARDLESS of the live
+            witness scalar.
     n:      true (unpadded) point count per query
     is_g2:  flat-Fq2 tables when True"""
 
     tx: jax.Array
     ty: jax.Array
+    ident: jax.Array
     n: int
     is_g2: bool
 
@@ -443,7 +467,7 @@ def _build_block_jit(is_g2: bool):
         ty = jnp.stack([t[1] for t in tabs], axis=0)
         tz = jnp.stack([t[2] for t in tabs], axis=0)
         ax, ay = _normalize_affine(tx, ty, tz, ident, fld)
-        return ax.astype(jnp.uint16), ay.astype(jnp.uint16)
+        return ax.astype(jnp.uint16), ay.astype(jnp.uint16), ident
 
     return build_block
 
@@ -451,13 +475,15 @@ def _build_block_jit(is_g2: bool):
 def build_tables_block(staged_block, is_g2: bool):
     """One column block of staged projective points (leaves
     (35[,2], M, blk), Montgomery RNS) -> u16 affine {1P..8P} tables
-    (HALF, 35[,2], M, blk).  Identity columns are detected on the
-    STAGED input (their Z is exactly zero in every channel before any
-    arithmetic touches it)."""
+    (HALF, 35[,2], M, blk) plus the (M, blk) bool identity-column
+    mask.  Identity columns are detected on the STAGED input (their Z
+    is exactly zero in every channel before any arithmetic touches
+    it); their table entries are garbage and the mask MUST suppress
+    their digits at MSM time."""
     return _build_block_jit(is_g2)(tuple(staged_block))
 
 
-def chunkify_tables(xs, ys, C: int, S: int, n: int,
+def chunkify_tables(xs, ys, ids, C: int, S: int, n: int,
                     is_g2: bool) -> AffineTables:
     """Concatenate per-block table arrays and split the column axis
     into C scan chunks of S."""
@@ -469,9 +495,24 @@ def chunkify_tables(xs, ys, C: int, S: int, n: int,
         big = big.reshape(big.shape[:-1] + (C, S))
         return jnp.moveaxis(big, -2, 0)
 
+    @jax.jit
+    def id_chunks(*blocks):
+        big = jnp.concatenate(blocks, axis=-1)  # (M, C*S)
+        big = big.reshape(big.shape[:-1] + (C, S))
+        return jnp.moveaxis(big, -2, 0)         # (C, M, S)
+
     return AffineTables(
-        tx=to_chunks(*xs), ty=to_chunks(*ys), n=n, is_g2=is_g2
+        tx=to_chunks(*xs), ty=to_chunks(*ys), ident=id_chunks(*ids),
+        n=n, is_g2=is_g2,
     )
+
+
+def mask_ident_digits(d, ident):
+    """Zero the signed digits of identity columns: d (C, W, M, S)
+    int8, ident (C, M, S) bool.  A zero digit selects the infinity
+    flag at selection time, which is the only correct treatment of an
+    identity input column (its staged affine table is garbage)."""
+    return jnp.where(ident[:, None], jnp.int8(0), d)
 
 
 def stage_affine_tables(staged_proj, is_g2: bool, n: int,
@@ -500,17 +541,18 @@ def stage_affine_tables(staged_proj, is_g2: bool, n: int,
     if block % S:
         block = S * max(block // S, 1)
 
-    xs, ys = [], []
+    xs, ys, ids = [], [], []
     for lo in range(0, n_pad, block):
         hi = min(lo + block, n_pad)
         pts = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a)[..., lo:hi], tuple(staged_proj)
         )
-        ax, ay = build_tables_block(pts, is_g2)
+        ax, ay, ident = build_tables_block(pts, is_g2)
         xs.append(ax)
         ys.append(ay)
+        ids.append(ident)
 
-    return chunkify_tables(xs, ys, C, S, n, is_g2)
+    return chunkify_tables(xs, ys, ids, C, S, n, is_g2)
 
 
 # -- the tree MSM -------------------------------------------------------------
@@ -552,13 +594,16 @@ def _proj_of_affine(x, y, inf, fld, ops):
     return (X, Y, Z)
 
 
-def msm_affine_tree(tables: AffineTables, scalars, ops,
-                    affine_levels: int | None = None):
-    """M same-size MSMs over staged affine tables.
+def tree_window_sums(tables: AffineTables, scalars, ops,
+                     affine_levels: int | None = None,
+                     pvary_axis: str | None = None):
+    """Per-window sums of M same-size MSMs over staged affine tables:
+    the pre-Horner stage, exposed so the sharded path can all_gather
+    and point-reduce window sums across chips before the (replicated)
+    Horner combine.
 
     scalars: (16, M, n_pad) u32 plain-form limbs (n_pad = C*S)
-    returns point pytree leaves (35[,2], M) -- same contract as
-    msm_signed_dense."""
+    returns projective point pytree, leaves (35[,2], W, M)."""
     is_g2 = tables.is_g2
     fld = Fq2Adapter() if is_g2 else FqAdapter()
     C, S, M = tables.chunks, tables.chunk_cols, tables.m
@@ -582,11 +627,13 @@ def msm_affine_tree(tables: AffineTables, scalars, ops,
     d = MSM.signed_digits(scalars, 4).astype(jnp.int8)  # (W, M, n)
     d = d.reshape(WIN, M, C, S)
     d = jnp.moveaxis(d, 2, 0)  # (C, W, M, S)
+    d = mask_ident_digits(d, tables.ident)
 
     def chunk_partials(tabx, taby, dg):
         x, y, inf = _select_tables(tabx, taby, dg, fld)
         for bx, by, reset in plan:
-            x, y, inf = _affine_level(x, y, inf, fld, bx, by, reset)
+            x, y, inf = _affine_level(x, y, inf, fld, bx, by, reset,
+                                      pvary_axis=pvary_axis)
         return _proj_of_affine(x, y, inf, fld, ops)  # (.., M, W, T)
 
     def scan_body(carry, xs):
@@ -609,7 +656,17 @@ def msm_affine_tree(tables: AffineTables, scalars, ops,
         acc = MSM.lane_fold(acc, ops, T)  # -> (.., M, W)
     else:
         acc = jax.tree_util.tree_map(lambda a: a[..., 0], acc)
-    wsum = jax.tree_util.tree_map(
+    return jax.tree_util.tree_map(
         lambda a: jnp.swapaxes(a, -1, -2), acc
     )  # (.., W, M)
-    return MSM.horner_windows(wsum, ops, is_g2, 4)
+
+
+def msm_affine_tree(tables: AffineTables, scalars, ops,
+                    affine_levels: int | None = None):
+    """M same-size MSMs over staged affine tables.
+
+    scalars: (16, M, n_pad) u32 plain-form limbs (n_pad = C*S)
+    returns point pytree leaves (35[,2], M) -- same contract as
+    msm_signed_dense."""
+    wsum = tree_window_sums(tables, scalars, ops, affine_levels)
+    return MSM.horner_windows(wsum, ops, tables.is_g2, 4)

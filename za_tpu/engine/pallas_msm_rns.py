@@ -371,17 +371,12 @@ def _kernel(g2: bool, L: int, B: int, ncoord: int, *refs):
 # -- host-facing entry --------------------------------------------------------
 
 
-def msm_signed_dense_pallas(points, scalars, ops, lanes: int = 128,
-                            interpret: bool = False):
-    """M same-size MSMs, signed radix-16, fused accumulation in Pallas.
-
-    points:  RNS point pytree, leaves (35, M, n) (G1) or flat-Fq2
-             (35, 2, M, n) (G2), projective Montgomery
-    scalars: (16, M, n) uint32 plain-form 16-bit digits
-    ops:     the XLA RNS FieldOps (for the lane-fold/Horner tail)
-    returns point pytree with leaves (35, M) / (35, 2, M) -- identical
-    contract to msm.msm_signed_dense.
-    """
+def dense_window_sums_pallas(points, scalars, ops, lanes: int = 128,
+                             interpret: bool = False):
+    """Pre-Horner per-window sums of the fused dense MSM: the Pallas
+    accumulation + lane fold, WITHOUT the Horner combine.  Leaves
+    (35[, 2], W, M) projective -- the sharded path all_gathers and
+    point-reduces these across chips before Horner."""
     first = jax.tree_util.tree_leaves(points)[0]
     is_g2 = first.ndim == 4
     M, n = first.shape[-2], first.shape[-1]
@@ -461,4 +456,22 @@ def msm_signed_dense_pallas(points, scalars, ops, lanes: int = 128,
     else:
         acc = tuple(unfold(o) for o in outs)
 
-    return MSM._fold_and_horner(acc, ops, is_g2, L, window_bits=4)
+    return MSM.lane_fold(acc, ops, L)  # leaves (35[, 2], W, M)
+
+
+def msm_signed_dense_pallas(points, scalars, ops, lanes: int = 128,
+                            interpret: bool = False):
+    """M same-size MSMs, signed radix-16, fused accumulation in Pallas.
+
+    points:  RNS point pytree, leaves (35, M, n) (G1) or flat-Fq2
+             (35, 2, M, n) (G2), projective Montgomery
+    scalars: (16, M, n) uint32 plain-form 16-bit digits
+    ops:     the XLA RNS FieldOps (for the lane-fold/Horner tail)
+    returns point pytree with leaves (35, M) / (35, 2, M) -- identical
+    contract to msm.msm_signed_dense.
+    """
+    first = jax.tree_util.tree_leaves(points)[0]
+    is_g2 = first.ndim == 4
+    wsum = dense_window_sums_pallas(points, scalars, ops, lanes,
+                                    interpret)
+    return MSM.horner_windows(wsum, ops, is_g2, 4)

@@ -407,14 +407,12 @@ def _select_chunk(tabx, taby, d):
             inf.astype(jnp.uint16))
 
 
-def msm_tree_fused(tables: MT.AffineTables, scalars, ops,
-                   interpret: bool = False, min_kernel: int = 128):
-    """M same-size G1 MSMs with Pallas-fused affine tree levels.
-
-    tables: chunked u16 affine tables (msm_tree.AffineTables, G1)
-    scalars: (16, M, n_pad) u32 plain-form limbs
-    Returns (X, Y, Z) leaves (35, M) -- same contract as
-    msm_signed_dense."""
+def tree_window_sums_fused(tables: MT.AffineTables, scalars, ops,
+                           interpret: bool = False,
+                           min_kernel: int = 128):
+    """Pre-Horner per-window sums of the fused G1 tree MSM (leaves
+    (35, W, M) projective); the sharded path reduces these across
+    chips before the Horner combine."""
     assert not tables.is_g2, "fused tree path is G1 (G2: dense kernel)"
     C, S, M = tables.chunks, tables.chunk_cols, tables.m
     n_pad = C * S
@@ -427,6 +425,7 @@ def msm_tree_fused(tables: MT.AffineTables, scalars, ops,
         )
     d = MSM.signed_digits(scalars, 4).astype(jnp.int8)
     d = jnp.moveaxis(d.reshape(WIN, M, C, S), 2, 0)  # (C, W, M, S)
+    d = MT.mask_ident_digits(d, tables.ident)
 
     # tables arrive (C, 8, 35, M, S)
     tail = max(min_kernel, 128)  # kernels need >= 128 pair columns
@@ -468,9 +467,21 @@ def msm_tree_fused(tables: MT.AffineTables, scalars, ops,
         acc = MSM.lane_fold(acc, ops, T)
     else:
         acc = jax.tree_util.tree_map(lambda a: a[..., 0], acc)
-    wsum = jax.tree_util.tree_map(
+    return jax.tree_util.tree_map(
         lambda a: jnp.swapaxes(a, -1, -2), acc
     )
+
+
+def msm_tree_fused(tables: MT.AffineTables, scalars, ops,
+                   interpret: bool = False, min_kernel: int = 128):
+    """M same-size G1 MSMs with Pallas-fused affine tree levels.
+
+    tables: chunked u16 affine tables (msm_tree.AffineTables, G1)
+    scalars: (16, M, n_pad) u32 plain-form limbs
+    Returns (X, Y, Z) leaves (35, M) -- same contract as
+    msm_signed_dense."""
+    wsum = tree_window_sums_fused(tables, scalars, ops, interpret,
+                                  min_kernel)
     return MSM.horner_windows(wsum, ops, False, 4)
 
 
@@ -815,10 +826,11 @@ def _select_chunk_g2(tabx, taby, d):
             inf.astype(jnp.uint16))
 
 
-def msm_tree_fused_g2(tables: MT.AffineTables, scalars, ops,
-                      interpret: bool = False, min_kernel: int = 128):
-    """M same-size G2 MSMs with Pallas-fused flat-Fq2 tree levels.
-    Same contract as msm_affine_tree (leaves (35, 2, M))."""
+def tree_window_sums_fused_g2(tables: MT.AffineTables, scalars, ops,
+                              interpret: bool = False,
+                              min_kernel: int = 128):
+    """Pre-Horner per-window sums of the fused G2 tree MSM (leaves
+    (35, 2, W, M) projective)."""
     assert tables.is_g2
     C, S, M = tables.chunks, tables.chunk_cols, tables.m
     n_pad = C * S
@@ -833,6 +845,7 @@ def msm_tree_fused_g2(tables: MT.AffineTables, scalars, ops,
         )
     d = MSM.signed_digits(scalars, 4).astype(jnp.int8)
     d = jnp.moveaxis(d.reshape(WIN, M, C, S), 2, 0)
+    d = MT.mask_ident_digits(d, tables.ident)
 
     tail = max(min_kernel, 128)
 
@@ -876,7 +889,15 @@ def msm_tree_fused_g2(tables: MT.AffineTables, scalars, ops,
         acc = MSM.lane_fold(acc, ops, T)
     else:
         acc = jax.tree_util.tree_map(lambda a: a[..., 0], acc)
-    wsum = jax.tree_util.tree_map(
+    return jax.tree_util.tree_map(
         lambda a: jnp.swapaxes(a, -1, -2), acc
     )
+
+
+def msm_tree_fused_g2(tables: MT.AffineTables, scalars, ops,
+                      interpret: bool = False, min_kernel: int = 128):
+    """M same-size G2 MSMs with Pallas-fused flat-Fq2 tree levels.
+    Same contract as msm_affine_tree (leaves (35, 2, M))."""
+    wsum = tree_window_sums_fused_g2(tables, scalars, ops, interpret,
+                                     min_kernel)
     return MSM.horner_windows(wsum, ops, True, 4)

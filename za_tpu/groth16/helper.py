@@ -119,18 +119,38 @@ def prove(
 
     use_wtrace = use_wtrace and os.environ.get("ZA_WTRACE", "1") != "0"
     wtrace_path = proving_key_path + ".wtrace"
-    digest = pk_digest(proving_key_path) if use_wtrace else b""
+    use_devcache = (
+        raw and os.environ.get("ZA_DEVCACHE", "1") != "0"
+    )
+    digest = (
+        pk_digest(proving_key_path) if (use_wtrace or use_devcache)
+        else b""
+    )
+    if use_devcache:
+        # device-layout staging cache: stage_params loads the staged
+        # affine tables from <pk>.devcache (or saves them after the
+        # first staging) instead of rebuilding per process
+        pk.params._devcache_path = proving_key_path + ".devcache"
+        pk.params._devcache_digest = digest.hex()
 
     replayed = False
     signals = None
     had_valid_cache = False
+    z_pack = None
     if use_wtrace:
         prog = WitnessProgram.load(wtrace_path, digest)
         had_valid_cache = prog is not None
         if prog is not None:
             start = time.monotonic()
             try:
-                signals = prog.run({name: fs.v for name, fs in inputs})
+                # replay straight into the R1CS assignment (native C
+                # tape interpreter when available): no Signals-store
+                # rebuild, no per-prove R1CS reconstruction
+                r1cs = _replay_r1cs(digest, prog, pk)
+                z_limbs, z_head = prog.run_z(
+                    {name: fs.v for name, fs in inputs}, r1cs
+                )
+                z_pack = (r1cs, z_limbs, z_head)
                 replayed = True
                 log.info(
                     "Witness replay time: %.3fs (compiled trace)",
@@ -138,15 +158,15 @@ def prove(
                 )
             except TraceMismatch as exc:
                 log.info("Witness trace diverged (%s); re-interpreting", exc)
-                signals = None
 
     if replayed:
         # belt-and-braces: a replayed witness that fails the R1CS check
         # (which the guards should make impossible) falls back to the
         # interpreter instead of failing the proof
         try:
-            return generate_verified_proof(
-                signals, pk.ignore_signals, pk.constraints, pk.params,
+            r1cs, z_limbs, z_head = z_pack
+            return generate_verified_proof_z(
+                r1cs, z_limbs, z_head, pk.params,
                 engine=engine, deterministic_rs=deterministic_rs,
             )
         except RuntimeError as exc:
@@ -189,6 +209,87 @@ def prove(
     return generate_verified_proof(
         signals, pk.ignore_signals, pk.constraints, pk.params,
         engine=engine, deterministic_rs=deterministic_rs,
+    )
+
+
+#: per-process replay R1CS cache: the variable layout and constraint
+#: rows are pk-static, so repeat proves share one compiled R1CS
+_replay_r1cs_cache: dict = {}
+
+
+def _replay_r1cs(digest: bytes, prog, pk):
+    key = digest.hex()
+    r1cs = _replay_r1cs_cache.get(key)
+    if r1cs is None:
+        r1cs = R1CS.from_constraints(
+            prog.meta_signals(), pk.constraints, pk.ignore_signals
+        )
+        _replay_r1cs_cache.clear()  # hold at most one pk's tables
+        _replay_r1cs_cache[key] = r1cs
+    return r1cs
+
+
+def _z_ints(z_limbs) -> list[int]:
+    """(16, nv) u32 16-bit-limb array -> plain int list (host paths)."""
+    import numpy as np
+
+    a = np.asarray(z_limbs, dtype=np.uint64)
+    out = []
+    for col in a.T:
+        v = 0
+        for k in range(15, -1, -1):
+            v = (v << 16) | int(col[k])
+        out.append(v)
+    return out
+
+
+def generate_verified_proof_z(
+    r1cs: R1CS,
+    z_limbs,
+    z_head: list[int],
+    params,
+    engine=None,
+    deterministic_rs: Optional[tuple[int, int]] = None,
+) -> str:
+    """generate_verified_proof from a replayed R1CS assignment: z as
+    the engine's (16, nv) limb array (device engines consume it with
+    zero conversion; host engines get a plain int list)."""
+    start = time.monotonic()
+    device = (
+        engine is not None
+        and hasattr(engine, "r1cs_satisfied")
+        and hasattr(engine, "witness_limbs_dev")
+        # tiny circuits take prove()'s exact-host path, which consumes
+        # int lists (mirrors the staged-branch gate in prove.py)
+        and max(r1cs.num_vars, params.domain_size - 1) >= 512
+    )
+    z = z_limbs if device else _z_ints(z_limbs)
+    if device:
+        if not engine.r1cs_satisfied(r1cs, z):
+            raise RuntimeError("constraints not satisfied by witness")
+    else:
+        if not r1cs.is_satisfied(z):
+            raise RuntimeError("constraints not satisfied by witness")
+    log.info(
+        "Constraint check time: %.3fs for %d constraint",
+        time.monotonic() - start, r1cs.num_constraints,
+    )
+
+    start = time.monotonic()
+    r, s = deterministic_rs if deterministic_rs is not None else (None, None)
+    proof = groth16_prove(params, r1cs, z, r=r, s=s, engine=engine)
+    log.info("Proof generation time: %.3fs", time.monotonic() - start)
+
+    start = time.monotonic()
+    public_inputs = list(zip(r1cs.input_names, z_head[1:]))
+    if not verify_proof(params.vk, proof, [v for _, v in public_inputs]):
+        raise RuntimeError("proof self-verification failed")
+    log.info("Proof verification time: %.3fs", time.monotonic() - start)
+
+    from ..algebra import FS as _FS
+
+    return fmt.proof_to_json(
+        proof, [(n, _FS(v)) for n, v in public_inputs]
     )
 
 

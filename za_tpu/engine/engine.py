@@ -403,25 +403,35 @@ class TpuEngine:
 
     # -- batch-affine tree staging (engine/msm_tree) -----------------
 
-    def _chunked_scatter_jit(self, shape, dtype, k: int):
-        """In-place chunked-table assembly: the (C, ...) destination is
-        DONATED, each block rechunks to (k, ..., S) and lands with one
-        dynamic_update_slice -- no whole-table concatenate/moveaxis
-        transients (the round-4 G2 staging at 2^20 tripped HBM on
-        exactly those; LADDER_r04 note)."""
-        key = ("scatter", shape, str(dtype), k)
+    def _chunked_scatter_jit(self, shapes, k: int):
+        """In-place chunked-table assembly for the memory-lean path:
+        all three (C, ...) destinations are DONATED and updated in ONE
+        dispatch per block (dispatch latency on the tunneled backend
+        is seconds, measured); each block rechunks to (k, ..., S) and
+        lands with a dynamic_update_slice -- no whole-table
+        concatenate/moveaxis transients (the round-4 G2 staging at
+        2^20 tripped HBM on exactly those; LADDER_r04 note)."""
+        key = ("scatter", shapes, k)
         fn = self._jit_cache.get(key)
         if fn is None:
-            S = shape[-1]
+            S = shapes[0][-1]
 
-            def fn_(big, blk, c0):
-                # blk (..., k*S) -> (k, ..., S)
+            def upd(big, blk):
                 r = blk.reshape(blk.shape[:-1] + (k, S))
                 r = jnp.moveaxis(r, -2, 0)
-                idx = (c0,) + (0,) * (len(shape) - 1)
-                return jax.lax.dynamic_update_slice(big, r, idx)
+                idx_len = len(big.shape)
+                return lambda c0: jax.lax.dynamic_update_slice(
+                    big, r, (c0,) + (0,) * (idx_len - 1)
+                )
 
-            fn = jax.jit(fn_, donate_argnums=0)
+            def fn_(btx, bty, bid, ax, ay, ident, c0):
+                return (
+                    upd(btx, ax)(c0),
+                    upd(bty, ay)(c0),
+                    upd(bid, ident)(c0),
+                )
+
+            fn = jax.jit(fn_, donate_argnums=(0, 1, 2))
             self._jit_cache[key] = fn
         return fn
 
@@ -457,20 +467,48 @@ class TpuEngine:
             return self._shard_tables(MT.AffineTables(
                 tx=htx, ty=hty, ident=hid, n=n, is_g2=is_g2,
             ))
+        # two single-process assembly strategies:
+        #  * concat (default): collect block tables, one fused
+        #    concat+rechunk -- fastest (measured 1.7 s vs 29 s for the
+        #    scatter at 2^17) but transiently holds ~3x the table
+        #    bytes in HBM
+        #  * donated scatter: preallocate the (C, ...) tables and land
+        #    each block with an in-place dynamic_update_slice --
+        #    transient = one block; used where the concat transients
+        #    OOM (G2 at 2^20, LADDER_r04) at a per-dispatch latency
+        #    cost
+        import os as _os
+
+        nbytes = 2 * (C * S) * MT.HALF * int(np.prod(ch)) * M * 2
+        scatter_min = int(
+            _os.environ.get("ZA_SCATTER_MIN", str(1 << 30))
+        )
+        lean = is_g2 and nbytes > scatter_min
+        if not lean:
+            xs, ys, ids = [], [], []
+            for lo in range(0, total, block):
+                hi = min(lo + block, total)
+                ax, ay, ident = build_blocks(lo, hi)
+                xs.append(ax)
+                ys.append(ay)
+                ids.append(ident)
+            return self._shard_tables(
+                MT.chunkify_tables(xs, ys, ids, C, S, n, is_g2)
+            )
         u16 = jnp.uint16
         big_tx = jnp.zeros((C, MT.HALF) + ch + (M, S), dtype=u16)
         big_ty = jnp.zeros_like(big_tx)
         big_id = jnp.zeros((C, M, S), dtype=jnp.bool_)
+        shapes = (big_tx.shape, big_ty.shape, big_id.shape)
         for lo in range(0, total, block):
             hi = min(lo + block, total)
             k = (hi - lo) // S
             ax, ay, ident = build_blocks(lo, hi)
-            sc_t = self._chunked_scatter_jit(big_tx.shape, u16, k)
-            sc_i = self._chunked_scatter_jit(big_id.shape, jnp.bool_, k)
-            c0 = jnp.int32(lo // S)
-            big_tx = sc_t(big_tx, ax, c0)
-            big_ty = sc_t(big_ty, ay, c0)
-            big_id = sc_i(big_id, ident, c0)
+            sc = self._chunked_scatter_jit(shapes, k)
+            big_tx, big_ty, big_id = sc(
+                big_tx, big_ty, big_id, ax, ay, ident,
+                jnp.int32(lo // S),
+            )
         return self._shard_tables(MT.AffineTables(
             tx=big_tx, ty=big_ty, ident=big_id, n=n, is_g2=is_g2,
         ))

@@ -683,8 +683,7 @@ def sharded_ntt_rns_fn(mesh: Mesh, dd: "ShardedRnsDomain",
         out_specs=P(None, AXIS),
     )
 
-    @jax.jit
-    def run(x):
-        return fn(x, tw, wd)
-
-    return run
+    # tables go in as ARGUMENTS: a multi-host global array cannot be
+    # closed over inside jit (spans non-addressable devices)
+    run = jax.jit(lambda x, tw_, wd_: fn(x, tw_, wd_))
+    return lambda x: run(x, tw, wd)

@@ -101,16 +101,22 @@ def witness_bench(log2n: int) -> dict:
     from za_tpu.native import wtrace_lib
 
     native = wtrace_lib() is not None
-    t0 = time.time()
-    limbs = prog.replay_limbs({"main.x": 3})
-    if limbs is None:
-        prog.replay_values({"main.x": 3})
-    replay_s = time.time() - t0
+
+    def one_replay():
+        t0 = time.time()
+        limbs = prog.replay_limbs({"main.x": 3})
+        if limbs is None:
+            prog.replay_values({"main.x": 3})
+        return time.time() - t0
+
+    replay_cold_s = one_replay()  # first call pays the page faults
+    replay_s = one_replay()       # steady state (repeat proves)
     return {
         "witness_constraints": n,
         "witness_interpret_c_per_s": int(n / interp_s),
         "witness_replay_c_per_s": int(n / max(replay_s, 1e-9)),
         "witness_replay_s": round(replay_s, 4),
+        "witness_replay_cold_s": round(replay_cold_s, 4),
         "witness_interpret_s": round(interp_s, 2),
         "witness_pack_s": round(pack_s, 2),
         "witness_replay_native": native,

@@ -311,3 +311,42 @@ def test_rns_fourstep_matches_unrolled():
         jnp.asarray(fwd), fs.t2_inv, fs.t1_inv, fs.inter_inv, fs.n1, fs.n2
     )
     assert demont(inv) == coeffs  # 1/n folded into inter_inv
+
+
+def test_geom_table_matches_pow_list():
+    """Device-built geometric tables == host big-int tables (the 2^21
+    domain builds these on device; correctness pinned here)."""
+    import numpy as np
+
+    import za_tpu.engine.ntt_rns as NR
+    from za_tpu.curve import R
+
+    g = 22222
+    want = NR._mont_table(NR._pow_list(g, 100))
+    got = np.asarray(NR.geom_table(g, 100))
+    assert np.array_equal(got, want)
+    # with a scale factor (the non-fourstep inverse coset table)
+    s = 987654321
+    want = NR._mont_table([s * pow(g, i, R) % R for i in range(33)])
+    got = np.asarray(NR.geom_table(g, 33, scale=s))
+    assert np.array_equal(got, want)
+
+
+def test_fourstep_inter_table_device_build():
+    import numpy as np
+
+    import za_tpu.engine.ntt_rns as NR
+    from za_tpu.curve import R
+    from za_tpu.groth16.domain import Domain
+
+    size = 1 << 6
+    h = Domain(size)
+    fs = NR.RnsFourStep.__new__(NR.RnsFourStep)
+    fs.n1 = 8
+    fs.n2 = 8
+    got = np.asarray(fs._inter(h.omega, 1))
+    for k2 in range(8):
+        row = NR._mont_table(
+            [pow(h.omega, k2 * j1, R) for j1 in range(8)]
+        )
+        assert np.array_equal(got[:, k2, :], row), k2

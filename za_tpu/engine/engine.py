@@ -1644,7 +1644,7 @@ class TpuEngine:
                 per[d][1].append(var)
                 per[d][2].append(k - d * m_loc)
         nnz = _pad_pow2ish(max(max(len(p[0]) for p in per), 1))
-        coeffs = np.zeros((D, RNS.N_CH, nnz), dtype=np.uint32)
+        coeffs = np.zeros((D, RNS.N_CH, nnz), dtype=np.uint16)
         cols = np.zeros((D, nnz), dtype=np.int32)
         rowids = np.zeros((D, nnz), dtype=np.int32)
         for d in range(D):
@@ -1762,11 +1762,11 @@ class TpuEngine:
             h = HostDomain(m)
             d = {
                 "coset_pow": self._gput(
-                    NR._mont_table(NR._pow_list(h.coset_gen, m)),
+                    np.asarray(NR.geom_table(h.coset_gen, m)),
                     P(None, None),
                 ),
                 "coset_inv": self._gput(
-                    NR._mont_table(NR._pow_list(h.coset_gen_inv, m)),
+                    np.asarray(NR.geom_table(h.coset_gen_inv, m)),
                     P(None, None),
                 ),
                 "z_coset_inv": self._gput(
@@ -1824,7 +1824,12 @@ class TpuEngine:
                 nnz = _pad_pow2ish(len(coeffs))
                 pad = nnz - len(coeffs)
                 return (
-                    jnp.asarray(RNS.RR.ints_to_rns(coeffs + [0] * pad)),
+                    # u16 residues: mont_mul_rns widens on use (halves
+                    # the resident matvec coefficient tables)
+                    jnp.asarray(
+                        RNS.RR.ints_to_rns(coeffs + [0] * pad)
+                        .astype(np.uint16)
+                    ),
                     jnp.asarray(np.array(cols + [0] * pad, dtype=np.int32)),
                     jnp.asarray(np.array(rowids + [0] * pad, dtype=np.int32)),
                 )

@@ -575,28 +575,24 @@ class ShardedRnsDomain:
         h = Domain(size)
         self.omega = h.omega
         sub = Domain(self.n2)
-        self.sub_fwd = jnp.asarray(
-            NR._mont_table(NR._pow_list(sub.omega, max(self.n2 // 2, 1)))
-        )
-        self.sub_inv = jnp.asarray(
-            NR._mont_table(
-                NR._pow_list(sub.omega_inv, max(self.n2 // 2, 1))
-            )
+        self.sub_fwd = NR.geom_table(sub.omega, max(self.n2 // 2, 1))
+        self.sub_inv = NR.geom_table(
+            sub.omega_inv, max(self.n2 // 2, 1)
         )
 
         from . import rns as RNS
 
         # inter-factor twiddles w_n^(j1*k2), device j1's row: (D, 35, n2)
-        tw = np.empty((n_devices, RNS.N_CH, self.n2), dtype=np.uint32)
+        # -- row j1 is the geometric series of w^j1, device-built
+        # (host big-int pow per ROW only; see ntt_rns.geom_table)
+        tw = np.empty((n_devices, RNS.N_CH, self.n2), dtype=np.uint16)
         tw_inv = np.empty_like(tw)
         w = self.omega
         winv = pow(w, R - 2, R)
         for j1 in range(n_devices):
-            tw[j1] = NR._mont_table(
-                [pow(w, j1 * k2, R) for k2 in range(self.n2)]
-            )
-            tw_inv[j1] = NR._mont_table(
-                [pow(winv, j1 * k2, R) for k2 in range(self.n2)]
+            tw[j1] = np.asarray(NR.geom_table(pow(w, j1, R), self.n2))
+            tw_inv[j1] = np.asarray(
+                NR.geom_table(pow(winv, j1, R), self.n2)
             )
         self.tw = tw
         self.tw_inv = tw_inv
@@ -607,7 +603,7 @@ class ShardedRnsDomain:
 
         def dft(base):
             out = np.empty(
-                (n_devices, n_devices, RNS.N_CH), dtype=np.uint32
+                (n_devices, n_devices, RNS.N_CH), dtype=np.uint16
             )
             for k1 in range(n_devices):
                 out[k1] = NR._mont_table(

@@ -32,8 +32,12 @@ from .rns import RR
 
 
 def _mont_table(vals) -> np.ndarray:
-    """list of Fr ints -> (35, n) Montgomery RNS residues."""
-    return RR.ints_to_rns([v * RR.m1 % R for v in vals])
+    """list of Fr ints -> (35, n) Montgomery RNS residues, u16
+    (residues < 2^16; mont_mul_rns widens on use -- constant tables
+    resident at half the HBM)."""
+    return RR.ints_to_rns(
+        [v * RR.m1 % R for v in vals]
+    ).astype(np.uint16)
 
 
 def _pow_list(base: int, count: int) -> list[int]:
@@ -43,6 +47,24 @@ def _pow_list(base: int, count: int) -> list[int]:
         out.append(acc)
         acc = acc * base % R
     return out
+
+
+def geom_table(base: int, count: int, scale: int = 1):
+    """(35, count) u16 Montgomery RNS table of [scale * base^i]:
+    built on DEVICE by axis doubling (log2(count) full-width mont
+    muls).  The host _pow_list at 2^21 costs ~2M big-int multiplies
+    (tens of seconds of domain construction); this is milliseconds."""
+    x = jnp.asarray(_mont_table([scale % R])).astype(jnp.uint32)
+    p = jnp.asarray(_mont_table([base % R])).astype(jnp.uint32)
+    width = 1
+    while width < count:
+        step = RNS.mont_mul_rns(
+            x, jnp.broadcast_to(p, x.shape), RR
+        )
+        x = jnp.concatenate([x, step], axis=1)
+        p = RNS.mont_mul_rns(p, p, RR)
+        width *= 2
+    return x[:, :count].astype(jnp.uint16)
 
 
 #: domains at least this large use the four-step layout on TPU (the 2D
@@ -70,20 +92,15 @@ class RnsDomain:
                 _mont_table(_pow_list(h.omega_inv, half))
             )
         self.size_inv = jnp.asarray(_mont_table([h.size_inv]))
-        self.coset_pow = jnp.asarray(_mont_table(_pow_list(h.coset_gen, size)))
+        self.coset_pow = geom_table(h.coset_gen, size)
         if self.fourstep is None:
             # inverse coset scaling with 1/n folded in
-            inv_scaled = []
-            acc = h.size_inv
-            for _ in range(size):
-                inv_scaled.append(acc)
-                acc = acc * h.coset_gen_inv % R
-            self.coset_inv_pow = jnp.asarray(_mont_table(inv_scaled))
+            self.coset_inv_pow = geom_table(
+                h.coset_gen_inv, size, scale=h.size_inv
+            )
         else:
             # the four-step inverse folds 1/n into its inter twiddles
-            self.coset_inv_nofold = jnp.asarray(
-                _mont_table(_pow_list(h.coset_gen_inv, size))
-            )
+            self.coset_inv_nofold = geom_table(h.coset_gen_inv, size)
         self.z_coset_inv = jnp.asarray(_mont_table([h.z_coset_inv]))
 
 
@@ -111,22 +128,29 @@ class RnsFourStep:
         self.t2_inv = jnp.asarray(
             _mont_table(_pow_list(sub2.omega_inv, max(self.n2 // 2, 1)))
         )
-        self.inter_fwd = jnp.asarray(self._inter(omega, 1))
-        self.inter_inv = jnp.asarray(
-            self._inter(pow(omega, R - 2, R), size_inv)
-        )
+        self.inter_fwd = self._inter(omega, 1)
+        self.inter_inv = self._inter(pow(omega, R - 2, R), size_inv)
 
-    def _inter(self, w: int, scale: int) -> np.ndarray:
-        out = np.empty((RNS.N_CH, self.n2, self.n1), dtype=np.uint32)
-        for k2 in range(self.n2):
-            wk = pow(w, k2, R)
-            row = []
-            acc = scale % R
-            for _ in range(self.n1):
-                row.append(acc)
-                acc = acc * wk % R
-            out[:, k2, :] = _mont_table(row)
-        return out
+    def _inter(self, w: int, scale: int):
+        """(35, n2, n1) u16: inter[k2, j1] = scale * w^(k2*j1), built
+        on DEVICE by doubling the j1 axis (log2(n1) mont muls over the
+        full (35, n2, width) block); only the n2 row bases w^k2 are
+        host big-int work."""
+        n1, n2 = self.n1, self.n2
+        wk = _pow_list(w, n2)  # w^k2, host (n2 muls)
+        p = jnp.asarray(_mont_table(wk)).astype(jnp.uint32)  # (35, n2)
+        x = jnp.asarray(
+            _mont_table([scale % R] * n2)
+        ).astype(jnp.uint32)[:, :, None]                     # (35, n2, 1)
+        width = 1
+        while width < n1:
+            step = RNS.mont_mul_rns(
+                x, jnp.broadcast_to(p[:, :, None], x.shape), RR
+            )
+            x = jnp.concatenate([x, step], axis=2)
+            p = RNS.mont_mul_rns(p, p, RR)
+            width *= 2
+        return x[:, :, :n1].astype(jnp.uint16)
 
 
 def _ntt_core(x, table, n: int):

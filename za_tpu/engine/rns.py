@@ -391,7 +391,14 @@ def mont_mul_rns(a, b, ctx: RnsContext):
     """a * b * M1^-1 represented-integer product (all 35 channels).
 
     Contract: represented A, B < 512N; output < 4N. Channels canonical.
-    """
+
+    u16 operands widen here (constant tables -- NTT twiddles, coset
+    vectors, matvec coefficients -- stay resident at HALF the HBM and
+    the cast fuses into the product)."""
+    if a.dtype == jnp.uint16:
+        a = a.astype(jnp.uint32)
+    if b.dtype == jnp.uint16:
+        b = b.astype(jnp.uint32)
     t = ch_mul(a, b, ctx)  # all 35 channels
 
     # lambda_i = t_i * (-N^-1 * w1_i) mod p_i  (B1 channels)

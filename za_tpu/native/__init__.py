@@ -38,33 +38,46 @@ def _cache_dir() -> str:
 
 
 def _build(src_path: str, tag: str) -> Optional[str]:
-    """Compile src to a cached shared library; None if no toolchain."""
+    """Compile src to a cached shared library; None if no toolchain.
+
+    -march=native is tried first (the library is built on the machine
+    it runs on; BMI2/ADX carry chains ~1.5x the Montgomery loop) with
+    a portable -O3 fallback."""
     with open(src_path, "rb") as f:
         src = f.read()
     digest = hashlib.blake2b(src, digest_size=12).hexdigest()
-    out = os.path.join(_cache_dir(), f"{tag}-{digest}.so")
-    if os.path.exists(out):
-        return out
-    for cc in (os.environ.get("CC"), "cc", "gcc", "clang"):
-        if not cc:
-            continue
-        tmp = tempfile.NamedTemporaryFile(
-            dir=_cache_dir(), suffix=".so.tmp", delete=False
-        )
-        tmp.close()
-        cmd = [cc, "-O3", "-fPIC", "-shared", "-o", tmp.name, src_path]
-        try:
-            subprocess.run(
-                cmd, check=True, capture_output=True, timeout=120
-            )
-            os.replace(tmp.name, out)
+    flag_sets = [
+        ["-O3", "-march=native", "-funroll-loops"],
+        ["-O3"],
+    ]
+    for flags in flag_sets:
+        fdig = hashlib.blake2b(
+            " ".join(flags).encode(), digest_size=4
+        ).hexdigest()
+        out = os.path.join(_cache_dir(), f"{tag}-{digest}-{fdig}.so")
+        if os.path.exists(out):
             return out
-        except (OSError, subprocess.SubprocessError) as exc:
-            log.debug("native build with %s failed: %s", cc, exc)
+        for cc in (os.environ.get("CC"), "cc", "gcc", "clang"):
+            if not cc:
+                continue
+            tmp = tempfile.NamedTemporaryFile(
+                dir=_cache_dir(), suffix=".so.tmp", delete=False
+            )
+            tmp.close()
+            cmd = [cc, *flags, "-fPIC", "-shared", "-o", tmp.name,
+                   src_path]
             try:
-                os.unlink(tmp.name)
-            except OSError:
-                pass
+                subprocess.run(
+                    cmd, check=True, capture_output=True, timeout=120
+                )
+                os.replace(tmp.name, out)
+                return out
+            except (OSError, subprocess.SubprocessError) as exc:
+                log.debug("native build with %s failed: %s", cc, exc)
+                try:
+                    os.unlink(tmp.name)
+                except OSError:
+                    pass
     return None
 
 

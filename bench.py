@@ -235,7 +235,7 @@ def main():
     zaux_l = z_l[:, r1cs.num_inputs:]
 
     def prove_compute():
-        h = stage("h_coeffs", lambda: eng.h_coeffs_limbs(r1cs, z, domain))
+        h = stage("h_coeffs", lambda: eng.h_coeffs_limbs(r1cs, z_l, domain))
         if use_tree:
             pa, pb1, pl = stage("msm_g1abl", lambda: eng.msm_g1_many(
                 s_abl, [z_l, z_l, zaux_l]))
@@ -246,6 +246,7 @@ def main():
         pb2 = stage("msm_b2", lambda: eng.msm_g2_many(sb2, [z_l])[0])
         return pa, pb1, pl, ph, pb2
 
+    staging_s = stage_total[0]  # pk staging only (pre-warmup)
     t0 = time.time()
     prove_compute()  # compile + warm
     warm = time.time() - t0
@@ -259,19 +260,29 @@ def main():
     assert sat_ok
     print(f"# sat check {sat_s:.2f}s", file=sys.stderr, flush=True)
 
+    eng._sat_legs = None  # headline dt: h WITHOUT the sat-leg reuse
     t0 = time.time()
     prove_compute()
     dt = time.time() - t0
 
+    # the real prove pipeline: sat check stashes its Az/Bz/Cz matvec
+    # legs and h(x) reuses them (helper path order)
+    t0 = time.time()
+    assert eng.r1cs_satisfied(r1cs, z_l)
+    prove_compute()
+    pipeline_s = time.time() - t0
+    print(f"# sat+prove pipeline {pipeline_s:.2f}s", file=sys.stderr,
+          flush=True)
+
     # end-to-end wall accounting (VERDICT r4 item 6): warm wall = one
-    # full repeat prove (witness replay + sat check + device compute +
+    # full repeat prove (witness replay + sat-fused device pipeline +
     # result d2h, all inside the measured calls); cold wall = first
     # prove of a fresh process (staging + compile-included first
     # iteration + witness interpret + tape pack)
     wit_replay_s = wit.get("witness_replay_s", 0.0)
-    prove_wall_warm = round(wit_replay_s + sat_s + dt, 3)
+    prove_wall_warm = round(wit_replay_s + pipeline_s, 3)
     prove_wall_cold = round(
-        stage_total[0] + warm
+        staging_s + warm
         + wit.get("witness_interpret_s", 0.0)
         + wit.get("witness_pack_s", 0.0), 1,
     )
@@ -293,8 +304,9 @@ def main():
             "constraints_per_s": int(n / dt),
             "g1_point_adds_per_s": int(point_adds / dt),
             "warmup_s": round(warm, 1),
-            "stage_s": round(stage_total[0], 1),
+            "stage_s": round(staging_s, 1),
             "sat_check_s": round(sat_s, 3),
+            "sat_prove_pipeline_s": round(pipeline_s, 3),
             "prove_wall_s_warm": prove_wall_warm,
             "prove_wall_s_cold": prove_wall_cold,
             "msm_style": eng.msm_style,

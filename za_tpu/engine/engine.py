@@ -1437,16 +1437,24 @@ class TpuEngine:
 
     def _r1cs_satisfied_rns(self, r1cs: R1CS, z: list[int], n: int) -> bool:
         """Sat check on the RNS matvec: (Az*Bz - Cz) reduced to
-        canonical limbs must be zero everywhere."""
+        canonical limbs must be zero everywhere.
+
+        Runs the matvecs at DOMAIN size (padded rows are all-zero and
+        trivially satisfied) and stashes the legs: the h(x) pipeline
+        needs exactly these Az/Bz/Cz vectors next, so a prove
+        immediately after the check skips its three matvecs."""
         from . import rns as RNS
+        from ..groth16.domain import Domain
 
         ctx = RNS.RR
+        m = Domain.for_constraints(n + r1cs.num_inputs).size
         ent = self._r1cs_entries_rns(r1cs)
         z_rns = self._rns_piece_to_mont()(self.witness_limbs_dev(z))
         legs = [
-            self._matvec_rns_jit(n, e[1].shape[0])(z_rns, *e)
+            self._matvec_rns_jit(m, e[1].shape[0])(z_rns, *e)
             for e in ent
         ]
+        self._sat_legs = ((id(r1cs), id(z), m), tuple(legs))
         fn = self._jit_cache.get(("rns_piece", "sat"))
         if fn is None:
             m1rep = ctx.ints_to_rns([ctx.m1 % ctx.modulus])[:, 0]
@@ -1473,34 +1481,45 @@ class TpuEngine:
         from jax.sharding import PartitionSpec as P
 
         from . import mesh as MESH, rns as RNS
+        from ..groth16.domain import Domain
 
         D = self._mesh_d
-        m = -(-n // D) * D
-        ent = getattr(r1cs, "_dev_entries_sat_rns", None)
-        if ent is None or ent[0] != m:
-            A = MESH.AXIS
-            packed = tuple(
-                (
-                    self._gput(e[0], P(A, None, None)),
-                    self._gput(e[1], P(A, None)),
-                    self._gput(e[2], P(A, None)),
+        # domain-size rows when the mesh-h layout fits (D^2 | m): the
+        # packed entries, matvec, AND resulting legs are then shared
+        # with the h(x) pipeline; tiny domains pad to D instead
+        m = Domain.for_constraints(n + r1cs.num_inputs).size
+        if m % (D * D) == 0:
+            _tools, packed, mv = self._mesh_h_tools_rns(r1cs, m)
+        else:
+            m = -(-n // D) * D
+            ent = getattr(r1cs, "_dev_entries_sat_rns", None)
+            if ent is None or ent[0] != m:
+                A = MESH.AXIS
+                packed = tuple(
+                    (
+                        self._gput(e[0], P(A, None, None)),
+                        self._gput(e[1], P(A, None)),
+                        self._gput(e[2], P(A, None)),
+                    )
+                    for e in (
+                        self._pack_rows_sharded_rns(rows, m, D)
+                        for rows in (
+                            r1cs.a_rows, r1cs.b_rows, r1cs.c_rows
+                        )
+                    )
                 )
-                for e in (
-                    self._pack_rows_sharded_rns(rows, m, D)
-                    for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)
-                )
-            )
-            ent = (m, packed)
-            r1cs._dev_entries_sat_rns = ent
-        _, packed = ent
-        nnz = packed[0][1].shape[1]
-        mv_key = ("mesh_mv_rns", m, nnz)
-        mv = self._jit_cache.get(mv_key)
-        if mv is None:
-            mv = MESH.sharded_matvec_rns_fn(self.mesh, m, nnz)
-            self._jit_cache[mv_key] = mv
+                ent = (m, packed)
+                r1cs._dev_entries_sat_rns = ent
+            _, packed = ent
+            nnz = packed[0][1].shape[1]
+            mv_key = ("mesh_mv_rns", m, nnz)
+            mv = self._jit_cache.get(mv_key)
+            if mv is None:
+                mv = MESH.sharded_matvec_rns_fn(self.mesh, m, nnz)
+                self._jit_cache[mv_key] = mv
         z_rns = self._rns_piece_to_mont()(self.witness_limbs_dev(z))
         legs = [mv(z_rns, *e) for e in packed]
+        self._sat_legs = ((id(r1cs), id(z), m), tuple(legs))
         ctx = RNS.RR
         fn = self._jit_cache.get(("rns_piece", "sat"))
         if fn is None:
@@ -1728,14 +1747,21 @@ class TpuEngine:
 
         dom = self._rns_mesh_scalars(m)
 
-        def leg(e, base):
-            evals = finish(mv(z_rns, *e), base)
+        stash = getattr(self, "_sat_legs", None)
+        reuse = None
+        if stash is not None and stash[0] == (id(r1cs), id(z), m):
+            reuse = stash[1]  # sat check already ran these matvecs
+        self._sat_legs = None
+
+        def leg(e, base, pre):
+            mv_out = pre if pre is not None else mv(z_rns, *e)
+            evals = finish(mv_out, base)
             coeffs = tools["intt"](evals)
             return tools["ntt"](scale(coeffs, dom["coset_pow"]))
 
-        a_c = leg(ent[0], az0)
-        b_c = leg(ent[1], zero0)
-        c_c = leg(ent[2], zero0)
+        a_c = leg(ent[0], az0, reuse and reuse[0])
+        b_c = leg(ent[1], zero0, reuse and reuse[1])
+        c_c = leg(ent[2], zero0, reuse and reuse[2])
         hc = self._rns_piece("h_combine")(
             a_c, b_c, c_c, dom["z_coset_inv"]
         )
@@ -1928,20 +1954,34 @@ class TpuEngine:
         zero0 = jnp.zeros((RNS.N_CH, m), dtype=jnp.uint32)
         finish = self._rns_piece("mv_finish")
 
-        def leg(name, e, base):
-            with _StageTimer(f"h.matvec.{name}") as st:
-                mv = st.done(
-                    self._matvec_rns_jit(m, e[1].shape[0])(z_rns, *e)
-                )
+        # a preceding r1cs_satisfied stashed its domain-size Az/Bz/Cz
+        # matvec outputs; reuse them (the sat check and h(x) need the
+        # same three vectors -- saves ~1s of duplicate matvecs at 2^20)
+        stash = getattr(self, "_sat_legs", None)
+        reuse = None
+        if stash is not None and stash[0] == (id(r1cs), id(z), m):
+            reuse = stash[1]
+        self._sat_legs = None
+
+        def leg(name, e, base, pre):
+            if pre is not None:
+                mv = pre
+            else:
+                with _StageTimer(f"h.matvec.{name}") as st:
+                    mv = st.done(
+                        self._matvec_rns_jit(m, e[1].shape[0])(
+                            z_rns, *e
+                        )
+                    )
             with _StageTimer(f"h.ntt.{name}") as st:
                 evals = finish(mv, base)
                 return st.done(
                     NR.coset_ntt_steps(dom, NR.intt_steps(dom, evals))
                 )
 
-        a_c = leg("a", ent[0], az0)
-        b_c = leg("b", ent[1], zero0)
-        c_c = leg("c", ent[2], zero0)
+        a_c = leg("a", ent[0], az0, reuse and reuse[0])
+        b_c = leg("b", ent[1], zero0, reuse and reuse[1])
+        c_c = leg("c", ent[2], zero0, reuse and reuse[2])
         with _StageTimer("h.combine+intt") as st:
             hc = self._rns_piece("h_combine")(
                 a_c, b_c, c_c, dom.z_coset_inv

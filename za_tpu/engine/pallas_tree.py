@@ -63,9 +63,13 @@ IROWS = 8  # infinity-flag arrays carry 8 sublane rows (tile-aligned)
 LMAX = 16384
 # batch-inversion chain width: scans step in (35, CW) slices so the
 # base-extension matmuls stay wide -- at 128-wide slices the kernels
-# measured 93M mont muls/s (MXU starved on (34, 128) operands) vs
-# ~900M for the dense kernel's (34, 8192)
-CW = 2048
+# measured 93M mont muls/s (MXU starved on (34, 128) operands). 2048
+# measured best end-to-end: wider slices speed the wide chains but the
+# per-tile (35, 128) stage-2 folds grow linearly with CW and dominate
+# (CW=8192 measured ~15% slower at 2^17).
+import os as _os
+
+CW = int(_os.environ.get("ZA_TREE_CW", "2048"))
 
 
 # -- per-level constant offsets ----------------------------------------------

@@ -827,37 +827,50 @@ class TpuEngine:
         }
 
     def _load_devcache(self, path: str, digest: str):
+        """<pk>.devcache is a DIRECTORY of raw .npy files + meta.json:
+        memory-mapped loads skip the zip extract/CRC pass an .npz
+        would pay (the upload is h2d-bandwidth-bound; this removes
+        the host-side copy)."""
         import json
         import os as _os
 
         from . import msm_tree as MT
 
-        if not _os.path.exists(path):
+        meta_path = _os.path.join(path, "meta.json")
+        if not _os.path.exists(meta_path):
             return None
         try:
-            z = np.load(path, allow_pickle=False)
-            meta = json.loads(bytes(z["meta"]).decode())
+            with open(meta_path, "r", encoding="utf-8") as f:
+                meta = json.load(f)
             want = dict(self._devcache_meta(), digest=digest)
-            if meta != want:
+            ns = meta.pop("n", None)
+            if meta != want or ns is None:
                 return None
+
+            def ld(name):
+                return np.load(
+                    _os.path.join(path, name + ".npy"),
+                    mmap_mode="r", allow_pickle=False,
+                )
+
             staged = {}
             for name in ("g1abl", "g1h"):
                 staged[name] = self._shard_tables(MT.AffineTables(
-                    tx=jnp.asarray(z[f"{name}_tx"]),
-                    ty=jnp.asarray(z[f"{name}_ty"]),
-                    ident=jnp.asarray(z[f"{name}_id"]),
-                    n=int(z[f"{name}_n"]), is_g2=False,
+                    tx=jnp.asarray(ld(f"{name}_tx")),
+                    ty=jnp.asarray(ld(f"{name}_ty")),
+                    ident=jnp.asarray(ld(f"{name}_id")),
+                    n=int(ns[name]), is_g2=False,
                 ))
-            if "b_g2x_tx" in z.files:
+            if _os.path.exists(_os.path.join(path, "b_g2x_tx.npy")):
                 staged["b_g2x"] = self._shard_tables(MT.AffineTables(
-                    tx=jnp.asarray(z["b_g2x_tx"]),
-                    ty=jnp.asarray(z["b_g2x_ty"]),
-                    ident=jnp.asarray(z["b_g2x_id"]),
-                    n=int(z["b_g2x_n"]), is_g2=True,
+                    tx=jnp.asarray(ld("b_g2x_tx")),
+                    ty=jnp.asarray(ld("b_g2x_ty")),
+                    ident=jnp.asarray(ld("b_g2x_id")),
+                    n=int(ns["b_g2x"]), is_g2=True,
                 ))
             else:  # dense-staged G2 (small query / ZA_TREE_G2=0)
                 staged["b_g2x"] = tuple(
-                    jnp.asarray(z[f"b_g2x_{i}"]) for i in range(3)
+                    jnp.asarray(ld(f"b_g2x_{i}")) for i in range(3)
                 )
             return staged
         except Exception as exc:  # noqa: BLE001 -- cache is best-effort
@@ -867,37 +880,42 @@ class TpuEngine:
     def _save_devcache(self, path: str, digest: str, staged) -> None:
         import json
         import os as _os
+        import shutil
 
         from . import msm_tree as MT
 
         try:
-            arrs = {}
+            tmp = path + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            _os.makedirs(tmp, exist_ok=True)
+
+            def sv(name, a):
+                np.save(_os.path.join(tmp, name + ".npy"),
+                        np.asarray(a), allow_pickle=False)
+
+            ns = {}
             for name in ("g1abl", "g1h"):
                 t = staged[name]
-                arrs[f"{name}_tx"] = np.asarray(t.tx)
-                arrs[f"{name}_ty"] = np.asarray(t.ty)
-                arrs[f"{name}_id"] = np.asarray(t.ident)
-                arrs[f"{name}_n"] = np.int64(t.n)
+                sv(f"{name}_tx", t.tx)
+                sv(f"{name}_ty", t.ty)
+                sv(f"{name}_id", t.ident)
+                ns[name] = int(t.n)
             b2 = staged["b_g2x"]
             if isinstance(b2, MT.AffineTables):
-                arrs["b_g2x_tx"] = np.asarray(b2.tx)
-                arrs["b_g2x_ty"] = np.asarray(b2.ty)
-                arrs["b_g2x_id"] = np.asarray(b2.ident)
-                arrs["b_g2x_n"] = np.int64(b2.n)
+                sv("b_g2x_tx", b2.tx)
+                sv("b_g2x_ty", b2.ty)
+                sv("b_g2x_id", b2.ident)
+                ns["b_g2x"] = int(b2.n)
             else:
                 for i, a in enumerate(b2):
-                    arrs[f"b_g2x_{i}"] = np.asarray(a)
-            meta = dict(self._devcache_meta(), digest=digest)
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                np.savez(
-                    f,
-                    meta=np.frombuffer(
-                        json.dumps(meta, sort_keys=True).encode(),
-                        dtype=np.uint8,
-                    ),
-                    **arrs,
-                )
+                    sv(f"b_g2x_{i}", a)
+            meta = dict(self._devcache_meta(), digest=digest, n=ns)
+            with open(_os.path.join(tmp, "meta.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(meta, f, sort_keys=True)
+            if _os.path.isfile(path):  # pre-directory-format cache
+                _os.unlink(path)
+            shutil.rmtree(path, ignore_errors=True)
             _os.replace(tmp, path)
         except Exception as exc:  # noqa: BLE001
             _metrics_log.info("devcache save failed: %s", exc)

@@ -77,13 +77,15 @@ CW = int(_os.environ.get("ZA_TREE_CW", "2048"))
 
 @functools.lru_cache(maxsize=None)
 def _level_offs(bx: int, by: int, reset: bool,
-                omul: int = 4) -> np.ndarray:
-    """(35, 5) u32 columns: den, num, x3, w, y3 subtraction offsets
-    (k*N mod p per channel), mirroring msm_tree._affine_level.
+                omul: int = 4, ynk: int = 8) -> np.ndarray:
+    """(35, 6) u32 columns: den, num, x3, w, y3 subtraction offsets
+    (k*N mod p per channel), mirroring msm_tree._affine_level, plus
+    the level-0 y-negation offset ynk*N (8 G1 / 24 G2 -- the staged
+    y-table bound) used only by the fused-select kernels.
     omul: mont-mul output bound (4 for Fq, 12 for Fq2 schoolbook)."""
     N = RNS.RQ.modulus
     ks = [bx, by, 2 * bx,
-          (omul + 4) if reset else (omul + 2 * bx), by]
+          (omul + 4) if reset else (omul + 2 * bx), by, ynk]
     return np.stack(
         [MT._off_vec(k, N) for k in ks], axis=1
     ).astype(np.uint32)
@@ -374,6 +376,270 @@ def tree_level(x, y, inf, bx: int, by: int, reset: bool,
     return x3, y3, i3
 
 
+# -- level 0 with in-kernel digit selection ----------------------------------
+# The XLA _select_chunk materializes the (M, W, 35, S) level-0 state
+# through HBM (x + y + flags ~ 5x the table bytes at W=64) and the A/B
+# kernels read it back.  These variants select digits INSIDE the level
+# kernels instead: the grid iterates windows innermost so each (8, 35,
+# L) table tile is fetched once per (m, t) and stays VMEM-resident
+# across all W windows (Pallas elides the copy when the block index is
+# unchanged between consecutive grid steps).
+
+
+def _digits0(dr, sl):
+    """Digit slice: dr (1, 1, L) int8 ref -> ((1, cw) i32, |.|)."""
+    a = dr[0, 0:1, sl].astype(jnp.int32)
+    return a, jnp.abs(a)
+
+
+def _kseltab(tabr, ad, sl):
+    """Select the |digit| multiple from a table tile: tabr
+    (1, 8, 35, L) u16 ref, ad (1, cw) i32 -> (35, cw) u32.  Digit 0
+    defaults to multiple 1 (the caller flags those lanes at infinity
+    -- identical to _select_chunk's where-chain)."""
+    sel = tabr[0, 0, :, sl].astype(jnp.uint32)
+    for k in range(2, HALF + 1):
+        sel = jnp.where(
+            ad == k, tabr[0, k - 1, :, sl].astype(jnp.uint32), sel
+        )
+    return sel
+
+
+def _den0_slice(kc, offs, tx1, tx2, d1, d2, j, cw):
+    """(35, cw) guarded level-0 denominator with in-kernel select."""
+    sl = pl.ds(j * cw, cw)
+    _, ad1 = _digits0(d1, sl)
+    _, ad2 = _digits0(d2, sl)
+    x1 = _kseltab(tx1, ad1, sl)
+    x2 = _kseltab(tx2, ad2, sl)
+    den = PK._ksub(x2, x1, kc, offs[:, 0:1])
+    either = (ad1 == 0) | (ad2 == 0)
+    one = jnp.broadcast_to(kc.one, den.shape)
+    return jnp.where(either, one, den)
+
+
+def _a0_kernel(L, cw, *refs):
+    """Kernel A with fused level-0 selection (table + digit inputs)."""
+    kc = PK._KC(refs[:NC], False)
+    offs = refs[NC][:]
+    tx1, tx2, d1, d2 = refs[NC + 1:NC + 5]
+    outr = refs[NC + 5]
+    run = jnp.broadcast_to(kc.one, (NCH, cw)).astype(jnp.uint32)
+    for j in range(L // cw):
+        run = PK._kmul(
+            run, _den0_slice(kc, offs, tx1, tx2, d1, d2, j, cw), kc
+        )
+    r2 = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
+    for k in range(cw // LANE):
+        r2 = PK._kmul(r2, run[:, k * LANE:(k + 1) * LANE], kc)
+    outr[0, 0] = r2
+
+
+def _sel0_pair(kc, offs, tx1, tx2, ty1, ty2, d1, d2, j, cw):
+    """Both selected operands of slice j: x1, x2, y1, y2 (35, cw) u32
+    with the digit sign applied to y, plus the infinity masks."""
+    sl = pl.ds(j * cw, cw)
+    a1, ad1 = _digits0(d1, sl)
+    a2, ad2 = _digits0(d2, sl)
+    x1 = _kseltab(tx1, ad1, sl)
+    x2 = _kseltab(tx2, ad2, sl)
+    y1 = _kseltab(ty1, ad1, sl)
+    y2 = _kseltab(ty2, ad2, sl)
+    z = jnp.zeros_like(y1)
+    y1 = jnp.where(a1 < 0, PK._ksub(z, y1, kc, offs[:, 5:6]), y1)
+    y2 = jnp.where(a2 < 0, PK._ksub(z, y2, kc, offs[:, 5:6]), y2)
+    return x1, x2, y1, y2, ad1 == 0, ad2 == 0
+
+
+def _b0_kernel(L, cw, reset, *refs):
+    """Kernel B with fused level-0 selection (mirrors _b_kernel)."""
+    kc = PK._KC(refs[:NC], False)
+    offs = refs[NC][:]
+    tx1, tx2, ty1, ty2, d1, d2, tinv_r = refs[NC + 1:NC + 8]
+    x3r, y3r, i3r = refs[NC + 8:NC + 11]
+    pre_r = refs[NC + 11]
+    s2_r = refs[NC + 12]
+
+    steps = L // cw
+
+    def fwd(j, run):
+        sl = pl.ds(j * cw, cw)
+        pre_r[:, sl] = run
+        return PK._kmul(
+            run, _den0_slice(kc, offs, tx1, tx2, d1, d2, j, cw), kc
+        )
+
+    one = jnp.broadcast_to(kc.one, (NCH, cw)).astype(jnp.uint32)
+    run_w = jax.lax.fori_loop(0, steps, fwd, one)
+
+    one_n = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
+    r2 = one_n
+    for k in range(cw // LANE):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        s2_r[:, sl] = r2
+        r2 = PK._kmul(r2, run_w[:, sl], kc)
+
+    c2 = tinv_r[0, 0, 0]
+    for k in range(cw // LANE - 1, -1, -1):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        pr = s2_r[:, sl]
+        s2_r[:, sl] = PK._kmul(c2, pr, kc)
+        c2 = PK._kmul(c2, run_w[:, sl], kc)
+    carry0 = s2_r[:]
+
+    def bwd(i, carry):
+        j = steps - 1 - i
+        sl = pl.ds(j * cw, cw)
+        x1, x2, y1, y2, b1, b2 = _sel0_pair(
+            kc, offs, tx1, tx2, ty1, ty2, d1, d2, j, cw
+        )
+        den = PK._ksub(x2, x1, kc, offs[:, 0:1])
+        den = jnp.where(
+            b1 | b2, jnp.broadcast_to(kc.one, den.shape), den
+        )
+        dinv = PK._kmul(carry, pre_r[:, sl], kc)
+        carry = PK._kmul(carry, den, kc)
+
+        num = PK._ksub(y2, y1, kc, offs[:, 1:2])
+        lam = PK._kmul(num, dinv, kc)
+        t = PK._kmul(lam, lam, kc)
+        sx = PK._kadd(x1, x2, kc)
+        x3 = PK._ksub(t, sx, kc, offs[:, 2:3])
+        if reset:
+            x3 = PK._kmul(x3, jnp.broadcast_to(kc.one, x3.shape), kc)
+        w = PK._ksub(x1, x3, kc, offs[:, 3:4])
+        u = PK._kmul(lam, w, kc)
+        y3 = PK._ksub(u, y1, kc, offs[:, 4:5])
+
+        x3 = jnp.where(b1, x2, jnp.where(b2, x1, x3))
+        y3 = jnp.where(b1, y2, jnp.where(b2, y1, y3))
+        x3r[0, 0, :, sl] = x3.astype(jnp.uint16)
+        y3r[0, 0, :, sl] = y3.astype(jnp.uint16)
+        i3r[0, 0, :, sl] = jnp.broadcast_to(
+            (b1 & b2).astype(jnp.uint16), (IROWS, x3.shape[1])
+        )
+        return carry
+
+    jax.lax.fori_loop(0, steps, bwd, carry0)
+
+
+def tree_level0_fused(tabx, taby, d, bx: int, by: int, reset: bool,
+                      interpret: bool = False):
+    """Level 0 fused with digit selection.
+
+    tabx, taby: (8, 35, M, S) u16 chunk tables; d: (W, M, S) int8
+    signed digits (identity columns pre-zeroed by mask_ident_digits).
+    Returns the halved (x3, y3, inf3) -- bit-identical to
+    tree_level(_select_chunk(...)) without the (M, W, 35, S) HBM
+    round-trip."""
+    Wn, M, S = d.shape
+    half = S // 2
+    L = min(LMAX, half)
+    T = half // L
+    assert T * L == half, (S, L)
+    cw = min(CW, L)
+    offs = jnp.asarray(_level_offs(bx, by, reset))
+    consts = _consts()
+    off_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    # Mosaic block constraint: the last two block dims must be
+    # (multiple-of-8, multiple-of-128) or full -- so the query axis
+    # moves to the front ((M, 8, 35, S), a ~table-sized pass, vs the
+    # 2x(W/8)-larger level-0 select materialization this kernel
+    # replaces) and digits flatten to (W*M, 1, S).
+    tabx = jnp.moveaxis(tabx, 2, 0)
+    taby = jnp.moveaxis(taby, 2, 0)
+    d = d.reshape(Wn * M, 1, S)
+
+    def tabtile(col_block):
+        return pl.BlockSpec(
+            (1, HALF, NCH, L), lambda m, t, w, cb=col_block:
+            (m, 0, 0, t + cb), memory_space=pltpu.VMEM,
+        )
+
+    def dtile(col_block):
+        return pl.BlockSpec(
+            (1, 1, L), lambda m, t, w, cb=col_block:
+            (w * M + m, 0, t + cb), memory_space=pltpu.VMEM,
+        )
+
+    tot = pl.pallas_call(
+        functools.partial(_a0_kernel, L, cw),
+        grid=(M, T, Wn),
+        in_specs=_cspecs() + [off_spec] + [
+            tabtile(0), tabtile(T), dtile(0), dtile(T)],
+        out_specs=pl.BlockSpec(
+            (1, 1, NCH, LANE), lambda m, t, w: (m, w, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, Wn, NCH, T * LANE),
+                                       jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, offs, tabx, tabx, d, d)
+
+    flat = tot.transpose(2, 0, 1, 3).reshape(NCH, M * Wn * T * LANE)
+    dig = jnp.asarray(_fermat_digits()[None])
+    steps = M * Wn * T
+    inv = pl.pallas_call(
+        functools.partial(_n_kernel, steps),
+        in_specs=_cspecs() + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((16, NCH, LANE), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, dig, flat)
+    invb = inv.reshape(NCH, M, Wn, T, LANE).transpose(1, 2, 3, 0, 4)
+
+    u16 = jnp.uint16
+    x3, y3, i3 = pl.pallas_call(
+        functools.partial(_b0_kernel, L, cw, reset),
+        grid=(M, T, Wn),
+        in_specs=_cspecs() + [off_spec] + [
+            tabtile(0), tabtile(T), tabtile(0), tabtile(T),
+            dtile(0), dtile(T),
+            pl.BlockSpec(
+                (1, 1, 1, NCH, LANE), lambda m, t, w: (m, w, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, NCH, L), lambda m, t, w: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, NCH, L), lambda m, t, w: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, IROWS, L), lambda m, t, w: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, Wn, NCH, half), u16),
+            jax.ShapeDtypeStruct((M, Wn, NCH, half), u16),
+            jax.ShapeDtypeStruct((M, Wn, IROWS, half), u16),
+        ],
+        scratch_shapes=[pltpu.VMEM((NCH, L), jnp.uint32),
+                        pltpu.VMEM((NCH, cw), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, offs, tabx, tabx, taby, taby, d, d, invb)
+    return x3, y3, i3
+
+
 # -- selection + full-chunk pipeline -----------------------------------------
 
 
@@ -435,9 +701,19 @@ def tree_window_sums_fused(tables: MT.AffineTables, scalars, ops,
     tail = max(min_kernel, 128)  # kernels need >= 128 pair columns
 
     def chunk_partials(tabx, taby, dg):
-        x, y, inf = _select_chunk(tabx, taby, dg)
         lvl = 0
         n_k = S
+        if n_k > tail:
+            # level 0 selects digits inside the kernels (no (M, W,
+            # 35, S) HBM round-trip; tables stay VMEM-resident
+            # across the W windows)
+            bx, by, reset = plan[0]
+            x, y, inf = tree_level0_fused(tabx, taby, dg, bx, by,
+                                          reset, interpret=interpret)
+            n_k //= 2
+            lvl = 1
+        else:
+            x, y, inf = _select_chunk(tabx, taby, dg)
         while n_k > tail:
             bx, by, reset = plan[lvl]
             x, y, inf = tree_level(x, y, inf, bx, by, reset,
@@ -794,6 +1070,249 @@ def tree_level_g2(x, y, inf, bx: int, by: int, reset: bool,
     return x3, y3, i3
 
 
+# -- G2 level 0 with in-kernel digit selection --------------------------------
+
+
+def _kseltab2(tabr, ad, sl):
+    """Select the |digit| multiple from a G2 table tile: tabr
+    (1, 8, 70, L) u16 ref (flat-Fq2 rows: c0 then c1), ad (1, cw)
+    i32 -> flat-Fq2 (70, cw)."""
+    sel = tabr[0, 0, :, sl].astype(jnp.uint32)
+    for k in range(2, HALF + 1):
+        sel = jnp.where(
+            ad == k, tabr[0, k - 1, :, sl].astype(jnp.uint32), sel
+        )
+    return sel
+
+
+def _den20_slice(kc, offs, tx1, tx2, d1, d2, j, cw):
+    sl = pl.ds(j * cw, cw)
+    _, ad1 = _digits0(d1, sl)
+    _, ad2 = _digits0(d2, sl)
+    x1 = _kseltab2(tx1, ad1, sl)
+    x2 = _kseltab2(tx2, ad2, sl)
+    den = _f2_sub(x2, x1, kc, offs[:, 0:1])
+    either = (ad1 == 0) | (ad2 == 0)
+    return jnp.where(either, _f2_one(kc, cw), den)
+
+
+def _a20_kernel(L, cw, *refs):
+    kc = PK._KC(refs[:NC], False)
+    offs = refs[NC][:]
+    tx1, tx2, d1, d2 = refs[NC + 1:NC + 5]
+    outr = refs[NC + 5]
+    run = _f2_one(kc, cw)
+    for j in range(L // cw):
+        run = _f2_mul(
+            run, _den20_slice(kc, offs, tx1, tx2, d1, d2, j, cw), kc
+        )
+    r2 = _f2_one(kc, LANE)
+    for k in range(cw // LANE):
+        r2 = _f2_mul(r2, run[:, k * LANE:(k + 1) * LANE], kc)
+    outr[0, 0] = r2
+
+
+def _sel20_pair(kc, offs, tx1, tx2, ty1, ty2, d1, d2, j, cw):
+    sl = pl.ds(j * cw, cw)
+    a1, ad1 = _digits0(d1, sl)
+    a2, ad2 = _digits0(d2, sl)
+    x1 = _kseltab2(tx1, ad1, sl)
+    x2 = _kseltab2(tx2, ad2, sl)
+    y1 = _kseltab2(ty1, ad1, sl)
+    y2 = _kseltab2(ty2, ad2, sl)
+    z = jnp.zeros_like(y1)
+    y1 = jnp.where(a1 < 0, _f2_sub(z, y1, kc, offs[:, 5:6]), y1)
+    y2 = jnp.where(a2 < 0, _f2_sub(z, y2, kc, offs[:, 5:6]), y2)
+    return x1, x2, y1, y2, ad1 == 0, ad2 == 0
+
+
+def _b20_kernel(L, cw, reset, *refs):
+    kc = PK._KC(refs[:NC], False)
+    offs = refs[NC][:]
+    tx1, tx2, ty1, ty2, d1, d2, tinv_r = refs[NC + 1:NC + 8]
+    x3r, y3r, i3r = refs[NC + 8:NC + 11]
+    pre_r = refs[NC + 11]
+    s2_r = refs[NC + 12]
+
+    steps = L // cw
+
+    def fwd(j, run):
+        sl = pl.ds(j * cw, cw)
+        pre_r[:, sl] = run
+        return _f2_mul(
+            run, _den20_slice(kc, offs, tx1, tx2, d1, d2, j, cw), kc
+        )
+
+    run_w = jax.lax.fori_loop(0, steps, fwd, _f2_one(kc, cw))
+
+    r2 = _f2_one(kc, LANE)
+    for k in range(cw // LANE):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        s2_r[:, sl] = r2
+        r2 = _f2_mul(r2, run_w[:, sl], kc)
+
+    c2 = tinv_r[0, 0, 0]
+    for k in range(cw // LANE - 1, -1, -1):
+        sl = slice(k * LANE, (k + 1) * LANE)
+        pr = s2_r[:, sl]
+        s2_r[:, sl] = _f2_mul(c2, pr, kc)
+        c2 = _f2_mul(c2, run_w[:, sl], kc)
+    carry0 = s2_r[:]
+
+    def bwd(i, carry):
+        j = steps - 1 - i
+        sl = pl.ds(j * cw, cw)
+        x1, x2, y1, y2, b1, b2 = _sel20_pair(
+            kc, offs, tx1, tx2, ty1, ty2, d1, d2, j, cw
+        )
+        den = _f2_sub(x2, x1, kc, offs[:, 0:1])
+        den = jnp.where(b1 | b2, _f2_one(kc, x1.shape[1]), den)
+        dinv = _f2_mul(carry, pre_r[:, sl], kc)
+        carry = _f2_mul(carry, den, kc)
+
+        num = _f2_sub(y2, y1, kc, offs[:, 1:2])
+        lam = _f2_mul(num, dinv, kc)
+        t = _f2_mul(lam, lam, kc)
+        sx = _f2_add(x1, x2, kc)
+        x3 = _f2_sub(t, sx, kc, offs[:, 2:3])
+        if reset:
+            x3 = _f2_mul(x3, _f2_one(kc, x3.shape[1]), kc)
+        w = _f2_sub(x1, x3, kc, offs[:, 3:4])
+        u = _f2_mul(lam, w, kc)
+        y3 = _f2_sub(u, y1, kc, offs[:, 4:5])
+
+        x3 = jnp.where(b1, x2, jnp.where(b2, x1, x3))
+        y3 = jnp.where(b1, y2, jnp.where(b2, y1, y3))
+        x3r[0, 0, :, sl] = x3.astype(jnp.uint16)
+        y3r[0, 0, :, sl] = y3.astype(jnp.uint16)
+        i3r[0, 0, :, sl] = jnp.broadcast_to(
+            (b1 & b2).astype(jnp.uint16), (IROWS, x3.shape[1])
+        )
+        return carry
+
+    jax.lax.fori_loop(0, steps, bwd, carry0)
+
+
+def tree_level0_fused_g2(tabx, taby, d, bx: int, by: int, reset: bool,
+                         interpret: bool = False):
+    """G2 level 0 fused with digit selection.
+
+    tabx, taby: (8, 35, 2, M, S) u16; d: (W, M, S) int8.  Returns the
+    halved flat-Fq2 (x3, y3, inf3) -- bit-identical to
+    tree_level_g2(_select_chunk_g2(...))."""
+    Wn, M, S = d.shape
+    half = S // 2
+    L = min(LMAX2, half)
+    T = half // L
+    assert T * L == half, (S, L)
+    cw = min(CW, L)
+    offs = jnp.asarray(_level_offs(bx, by, reset, OMUL2, ynk=24))
+    consts = _consts()
+    off_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    # Mosaic block constraint (see tree_level0_fused): query axis to
+    # the front, components flattened into 70 flat-Fq2 rows (c0 rows
+    # then c1 -- a (2, L) sublane tile would pad 2 -> 8 in VMEM),
+    # digits flattened
+    def _flat70(tab):
+        t = jnp.moveaxis(tab, 3, 0)        # (M, 8, 35, 2, S)
+        t = jnp.swapaxes(t, 2, 3)          # (M, 8, 2, 35, S)
+        return t.reshape(M, HALF, NROW2, S)
+
+    tabx = _flat70(tabx)
+    taby = _flat70(taby)
+    d = d.reshape(Wn * M, 1, S)
+
+    def tabtile(col_block):
+        return pl.BlockSpec(
+            (1, HALF, NROW2, L), lambda m, t, w, cb=col_block:
+            (m, 0, 0, t + cb), memory_space=pltpu.VMEM,
+        )
+
+    def dtile(col_block):
+        return pl.BlockSpec(
+            (1, 1, L), lambda m, t, w, cb=col_block:
+            (w * M + m, 0, t + cb), memory_space=pltpu.VMEM,
+        )
+
+    tot = pl.pallas_call(
+        functools.partial(_a20_kernel, L, cw),
+        grid=(M, T, Wn),
+        in_specs=_cspecs() + [off_spec] + [
+            tabtile(0), tabtile(T), dtile(0), dtile(T)],
+        out_specs=pl.BlockSpec(
+            (1, 1, NROW2, LANE), lambda m, t, w: (m, w, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, Wn, NROW2, T * LANE),
+                                       jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, offs, tabx, tabx, d, d)
+
+    flat = tot.transpose(2, 0, 1, 3).reshape(NROW2, M * Wn * T * LANE)
+    dig = jnp.asarray(_fermat_digits()[None])
+    steps = M * Wn * T
+    inv = pl.pallas_call(
+        functools.partial(_n2_kernel, steps),
+        in_specs=_cspecs() + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((16, NCH, LANE), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, dig, flat)
+    invb = inv.reshape(NROW2, M, Wn, T, LANE).transpose(1, 2, 3, 0, 4)
+
+    u16 = jnp.uint16
+    x3, y3, i3 = pl.pallas_call(
+        functools.partial(_b20_kernel, L, cw, reset),
+        grid=(M, T, Wn),
+        in_specs=_cspecs() + [off_spec] + [
+            tabtile(0), tabtile(T), tabtile(0), tabtile(T),
+            dtile(0), dtile(T),
+            pl.BlockSpec(
+                (1, 1, 1, NROW2, LANE),
+                lambda m, t, w: (m, w, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, NROW2, L), lambda m, t, w: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, NROW2, L), lambda m, t, w: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, IROWS, L), lambda m, t, w: (m, w, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, Wn, NROW2, half), u16),
+            jax.ShapeDtypeStruct((M, Wn, NROW2, half), u16),
+            jax.ShapeDtypeStruct((M, Wn, IROWS, half), u16),
+        ],
+        scratch_shapes=[pltpu.VMEM((NROW2, L), jnp.uint32),
+                        pltpu.VMEM((NROW2, cw), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*consts, offs, tabx, tabx, taby, taby, d, d, invb)
+    return x3, y3, i3
+
+
 def _select_chunk_g2(tabx, taby, d):
     """tabx/taby: (8, 35, 2, M, S) u16; d: (W, M, S) int8 ->
     x, y: (M, W, 70, S) u16; inf: (M, W, IROWS, S) u16."""
@@ -854,9 +1373,17 @@ def tree_window_sums_fused_g2(tables: MT.AffineTables, scalars, ops,
     tail = max(min_kernel, 128)
 
     def chunk_partials(tabx, taby, dg):
-        x, y, inf = _select_chunk_g2(tabx, taby, dg)
         lvl = 0
         n_k = S
+        if n_k > tail:
+            bx, by, reset = plan[0]
+            x, y, inf = tree_level0_fused_g2(tabx, taby, dg, bx, by,
+                                             reset,
+                                             interpret=interpret)
+            n_k //= 2
+            lvl = 1
+        else:
+            x, y, inf = _select_chunk_g2(tabx, taby, dg)
         while n_k > tail:
             bx, by, reset = plan[lvl]
             x, y, inf = tree_level_g2(x, y, inf, bx, by, reset,

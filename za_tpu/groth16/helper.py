@@ -112,10 +112,18 @@ def prove(
         and hasattr(engine, "stage_params")
         and getattr(engine, "use_grouped", False)
     )
+    t_all = time.monotonic()
     start = time.monotonic()
     with open(proving_key_path, "rb") as f:
         pk = fmt.read_pk(f, raw_queries=raw)
     log.info("Proving key read time: %.3fs", time.monotonic() - start)
+
+    def _done(proof_json: str) -> str:
+        log.info(
+            "prove wall time: %.3fs end to end (pk read -> witness -> "
+            "prove -> self-verify)", time.monotonic() - t_all,
+        )
+        return proof_json
 
     use_wtrace = use_wtrace and os.environ.get("ZA_WTRACE", "1") != "0"
     wtrace_path = proving_key_path + ".wtrace"
@@ -165,10 +173,10 @@ def prove(
         # interpreter instead of failing the proof
         try:
             r1cs, z_limbs, z_head = z_pack
-            return generate_verified_proof_z(
+            return _done(generate_verified_proof_z(
                 r1cs, z_limbs, z_head, pk.params,
                 engine=engine, deterministic_rs=deterministic_rs,
-            )
+            ))
         except RuntimeError as exc:
             log.warning("replayed witness rejected (%s); re-interpreting", exc)
             signals = None
@@ -206,10 +214,10 @@ def prove(
                 log.info("could not cache witness trace: %s", exc)
 
     log.info("Creating and self-verifying proof...")
-    return generate_verified_proof(
+    return _done(generate_verified_proof(
         signals, pk.ignore_signals, pk.constraints, pk.params,
         engine=engine, deterministic_rs=deterministic_rs,
-    )
+    ))
 
 
 #: per-process replay R1CS cache: the variable layout and constraint
@@ -278,7 +286,12 @@ def generate_verified_proof_z(
     start = time.monotonic()
     r, s = deterministic_rs if deterministic_rs is not None else (None, None)
     proof = groth16_prove(params, r1cs, z, r=r, s=s, engine=engine)
-    log.info("Proof generation time: %.3fs", time.monotonic() - start)
+    _dt = time.monotonic() - start
+    log.info(
+        "Proof generation time: %.3fs (%d constraints, %.0f "
+        "constraints/s)", _dt, r1cs.num_constraints,
+        r1cs.num_constraints / _dt if _dt > 0 else 0.0,
+    )
 
     start = time.monotonic()
     public_inputs = list(zip(r1cs.input_names, z_head[1:]))
@@ -319,7 +332,12 @@ def generate_verified_proof(
     start = time.monotonic()
     r, s = deterministic_rs if deterministic_rs is not None else (None, None)
     proof = groth16_prove(params, r1cs, z, r=r, s=s, engine=engine)
-    log.info("Proof generation time: %.3fs", time.monotonic() - start)
+    _dt = time.monotonic() - start
+    log.info(
+        "Proof generation time: %.3fs (%d constraints, %.0f "
+        "constraints/s)", _dt, r1cs.num_constraints,
+        r1cs.num_constraints / _dt if _dt > 0 else 0.0,
+    )
 
     # self-verify and emit public inputs
     start = time.monotonic()

@@ -27,6 +27,11 @@ compiles once):
      y3 = lam(x1-x3)-y1) with infinity-flag resolution; emits the
      halved level as u16 residue planes.
 
+Both A and B reduce their (35, CW) running chains to the (35, 128)
+inversion granularity with lane-halving product trees (Montgomery
+association-freedom makes any bracketing equal mod N), keeping the
+narrow-width mul tail logarithmic instead of linear in CW.
+
 Pairing is FOLD-HALF (element i pairs with i + n/2) so every kernel
 touches only contiguous, statically-sliced column ranges -- no
 gathers, no traced reshapes (Mosaic constraints, see pallas_msm_rns).
@@ -63,10 +68,11 @@ IROWS = 8  # infinity-flag arrays carry 8 sublane rows (tile-aligned)
 LMAX = 16384
 # batch-inversion chain width: scans step in (35, CW) slices so the
 # base-extension matmuls stay wide -- at 128-wide slices the kernels
-# measured 93M mont muls/s (MXU starved on (34, 128) operands). 2048
-# measured best end-to-end: wider slices speed the wide chains but the
-# per-tile (35, 128) stage-2 folds grow linearly with CW and dominate
-# (CW=8192 measured ~15% slower at 2^17).
+# measured 93M mont muls/s (MXU starved on (34, 128) operands). The
+# per-tile stage-2 folds run as lane-halving product trees
+# (_fold_tree/_unfold_inv_tree) so their narrow tail is logarithmic;
+# 2048 still measures best (2^16 G1 tree: 142 ms vs 147 ms at 4096 --
+# wider slices gain nothing once stage 2 is off the critical path).
 import os as _os
 
 CW = int(_os.environ.get("ZA_TREE_CW", "2048"))
@@ -105,6 +111,43 @@ def _fermat_digits() -> np.ndarray:
 # -- kernel bodies ------------------------------------------------------------
 
 
+def _fold_tree(run, kc, mul):
+    """(rows, cw) elementwise chain product folded to (rows, LANE) by
+    lane-halving.  Montgomery association-freedom: any bracketing of
+    mont muls over mont-domain values yields the same value mod N (the
+    M1 factors cancel identically), so this computes the sequential
+    group fold's value in log2(cw/128) levels whose widths halve from
+    cw -- instead of cw/128 narrow (rows, 128) muls, which starve the
+    base-extension matmuls (93M muls/s at 128-wide, docs/PERF.md) and
+    were the reason CW could not widen past 2048."""
+    w = run.shape[1]
+    while w > LANE:
+        w //= 2
+        run = mul(run[:, :w], run[:, w:], kc)
+    return run
+
+
+def _unfold_inv_tree(run_w, tinv, kc, mul):
+    """Elementwise inverse of run_w (rows, cw) from the (rows, 128)
+    chain inverse tinv of its folded total: rebuild the lane-halving
+    product tree, then push inverses down (inv(left) = inv(parent) *
+    right, inv(right) = inv(parent) * left).  Same op count as the
+    sequential prefix/suffix unwind but the muls run at widths
+    cw/2 .. 128 instead of all-128."""
+    levels = [run_w]
+    w = run_w.shape[1]
+    while w > LANE:
+        w //= 2
+        levels.append(mul(levels[-1][:, :w], levels[-1][:, w:], kc))
+    iv = tinv
+    for lv in levels[-2::-1]:
+        w = iv.shape[1]
+        iv = jnp.concatenate(
+            [mul(iv, lv[:, w:], kc), mul(iv, lv[:, :w], kc)], axis=1
+        )
+    return iv
+
+
 def _den_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw):
     """(35, cw) guarded denominator for chain-slice j."""
     sl = pl.ds(j * cw, cw)
@@ -130,10 +173,7 @@ def _a_kernel(L, cw, *refs):
         run = PK._kmul(
             run, _den_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw), kc
         )
-    r2 = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
-    for k in range(cw // LANE):
-        r2 = PK._kmul(r2, run[:, k * LANE:(k + 1) * LANE], kc)
-    outr[0, 0] = r2
+    outr[0, 0] = _fold_tree(run, kc, PK._kmul)
 
 
 def _n_kernel(steps, *refs):
@@ -188,15 +228,14 @@ def _b_kernel(L, cw, reset, *refs):
     """Backward per-element inverses + the affine addition.
 
     Mirrors A's two-stage chain: wide prefixes over L/cw slices into
-    scratch, a narrow stage-2 fold of the final (35, cw) run, the
-    (35, 128) chain inverse from N unwound through stage 2 to the
+    scratch, the product-tree fold of the final (35, cw) run, the
+    (35, 128) chain inverse from N pushed down the tree to the
     elementwise inverse of the wide run, then the wide backward walk."""
     kc = PK._KC(refs[:NC], False)
     offs = refs[NC][:]
     x1r, x2r, y1r, y2r, i1r, i2r, tinv_r = refs[NC + 1:NC + 8]
     x3r, y3r, i3r = refs[NC + 8:NC + 11]
     pre_r = refs[NC + 11]  # scratch (NCH, L) u32: wide fwd prefixes
-    s2_r = refs[NC + 12]   # scratch (NCH, cw): stage-2 prefixes
 
     steps = L // cw
 
@@ -210,21 +249,8 @@ def _b_kernel(L, cw, reset, *refs):
     one = jnp.broadcast_to(kc.one, (NCH, cw)).astype(jnp.uint32)
     run_w = jax.lax.fori_loop(0, steps, fwd, one)
 
-    # stage 2 within the final wide run
-    one_n = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
-    r2 = one_n
-    for k in range(cw // LANE):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        s2_r[:, sl] = r2
-        r2 = PK._kmul(r2, run_w[:, sl], kc)
-
     c2 = tinv_r[0, 0, 0]  # (NCH, 128): this tile's chain inverse
-    for k in range(cw // LANE - 1, -1, -1):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        pr = s2_r[:, sl]
-        s2_r[:, sl] = PK._kmul(c2, pr, kc)  # rinv replaces the prefix
-        c2 = PK._kmul(c2, run_w[:, sl], kc)
-    carry0 = s2_r[:]  # (NCH, cw): elementwise inverse of run_w
+    carry0 = _unfold_inv_tree(run_w, c2, kc, PK._kmul)
 
     def bwd(i, carry):
         j = steps - 1 - i
@@ -366,8 +392,7 @@ def tree_level(x, y, inf, bx: int, by: int, reset: bool,
             jax.ShapeDtypeStruct((M, W, NCH, half), u16),
             jax.ShapeDtypeStruct((M, W, IROWS, half), u16),
         ],
-        scratch_shapes=[pltpu.VMEM((NCH, L), jnp.uint32),
-                        pltpu.VMEM((NCH, cw), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((NCH, L), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -429,10 +454,7 @@ def _a0_kernel(L, cw, *refs):
         run = PK._kmul(
             run, _den0_slice(kc, offs, tx1, tx2, d1, d2, j, cw), kc
         )
-    r2 = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
-    for k in range(cw // LANE):
-        r2 = PK._kmul(r2, run[:, k * LANE:(k + 1) * LANE], kc)
-    outr[0, 0] = r2
+    outr[0, 0] = _fold_tree(run, kc, PK._kmul)
 
 
 def _sel0_pair(kc, offs, tx1, tx2, ty1, ty2, d1, d2, j, cw):
@@ -458,7 +480,6 @@ def _b0_kernel(L, cw, reset, *refs):
     tx1, tx2, ty1, ty2, d1, d2, tinv_r = refs[NC + 1:NC + 8]
     x3r, y3r, i3r = refs[NC + 8:NC + 11]
     pre_r = refs[NC + 11]
-    s2_r = refs[NC + 12]
 
     steps = L // cw
 
@@ -472,20 +493,7 @@ def _b0_kernel(L, cw, reset, *refs):
     one = jnp.broadcast_to(kc.one, (NCH, cw)).astype(jnp.uint32)
     run_w = jax.lax.fori_loop(0, steps, fwd, one)
 
-    one_n = jnp.broadcast_to(kc.one, (NCH, LANE)).astype(jnp.uint32)
-    r2 = one_n
-    for k in range(cw // LANE):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        s2_r[:, sl] = r2
-        r2 = PK._kmul(r2, run_w[:, sl], kc)
-
-    c2 = tinv_r[0, 0, 0]
-    for k in range(cw // LANE - 1, -1, -1):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        pr = s2_r[:, sl]
-        s2_r[:, sl] = PK._kmul(c2, pr, kc)
-        c2 = PK._kmul(c2, run_w[:, sl], kc)
-    carry0 = s2_r[:]
+    carry0 = _unfold_inv_tree(run_w, tinv_r[0, 0, 0], kc, PK._kmul)
 
     def bwd(i, carry):
         j = steps - 1 - i
@@ -630,8 +638,7 @@ def tree_level0_fused(tabx, taby, d, bx: int, by: int, reset: bool,
             jax.ShapeDtypeStruct((M, Wn, NCH, half), u16),
             jax.ShapeDtypeStruct((M, Wn, IROWS, half), u16),
         ],
-        scratch_shapes=[pltpu.VMEM((NCH, L), jnp.uint32),
-                        pltpu.VMEM((NCH, cw), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((NCH, L), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -865,11 +872,7 @@ def _a2_kernel(L, cw, *refs):
         run = _f2_mul(
             run, _den2_slice(kc, offs, x1r, x2r, i1r, i2r, j, cw), kc
         )
-    r2 = _f2_one(kc, LANE)
-    for k in range(cw // LANE):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        r2 = _f2_mul(r2, run[:, sl], kc)
-    outr[0, 0] = r2
+    outr[0, 0] = _fold_tree(run, kc, _f2_mul)
 
 
 def _n2_kernel(steps, *refs):
@@ -904,7 +907,6 @@ def _b2_kernel(L, cw, reset, *refs):
     x1r, x2r, y1r, y2r, i1r, i2r, tinv_r = refs[NC + 1:NC + 8]
     x3r, y3r, i3r = refs[NC + 8:NC + 11]
     pre_r = refs[NC + 11]  # scratch (70, L)
-    s2_r = refs[NC + 12]   # scratch (70, cw)
 
     steps = L // cw
 
@@ -917,19 +919,7 @@ def _b2_kernel(L, cw, reset, *refs):
 
     run_w = jax.lax.fori_loop(0, steps, fwd, _f2_one(kc, cw))
 
-    r2 = _f2_one(kc, LANE)
-    for k in range(cw // LANE):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        s2_r[:, sl] = r2
-        r2 = _f2_mul(r2, run_w[:, sl], kc)
-
-    c2 = tinv_r[0, 0, 0]
-    for k in range(cw // LANE - 1, -1, -1):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        pr = s2_r[:, sl]
-        s2_r[:, sl] = _f2_mul(c2, pr, kc)
-        c2 = _f2_mul(c2, run_w[:, sl], kc)
-    carry0 = s2_r[:]
+    carry0 = _unfold_inv_tree(run_w, tinv_r[0, 0, 0], kc, _f2_mul)
 
     def bwd(i, carry):
         j = steps - 1 - i
@@ -1060,8 +1050,7 @@ def tree_level_g2(x, y, inf, bx: int, by: int, reset: bool,
             jax.ShapeDtypeStruct((M, W, NROW2, half), u16),
             jax.ShapeDtypeStruct((M, W, IROWS, half), u16),
         ],
-        scratch_shapes=[pltpu.VMEM((NROW2, L), jnp.uint32),
-                        pltpu.VMEM((NROW2, cw), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((NROW2, L), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -1106,10 +1095,7 @@ def _a20_kernel(L, cw, *refs):
         run = _f2_mul(
             run, _den20_slice(kc, offs, tx1, tx2, d1, d2, j, cw), kc
         )
-    r2 = _f2_one(kc, LANE)
-    for k in range(cw // LANE):
-        r2 = _f2_mul(r2, run[:, k * LANE:(k + 1) * LANE], kc)
-    outr[0, 0] = r2
+    outr[0, 0] = _fold_tree(run, kc, _f2_mul)
 
 
 def _sel20_pair(kc, offs, tx1, tx2, ty1, ty2, d1, d2, j, cw):
@@ -1132,7 +1118,6 @@ def _b20_kernel(L, cw, reset, *refs):
     tx1, tx2, ty1, ty2, d1, d2, tinv_r = refs[NC + 1:NC + 8]
     x3r, y3r, i3r = refs[NC + 8:NC + 11]
     pre_r = refs[NC + 11]
-    s2_r = refs[NC + 12]
 
     steps = L // cw
 
@@ -1145,19 +1130,7 @@ def _b20_kernel(L, cw, reset, *refs):
 
     run_w = jax.lax.fori_loop(0, steps, fwd, _f2_one(kc, cw))
 
-    r2 = _f2_one(kc, LANE)
-    for k in range(cw // LANE):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        s2_r[:, sl] = r2
-        r2 = _f2_mul(r2, run_w[:, sl], kc)
-
-    c2 = tinv_r[0, 0, 0]
-    for k in range(cw // LANE - 1, -1, -1):
-        sl = slice(k * LANE, (k + 1) * LANE)
-        pr = s2_r[:, sl]
-        s2_r[:, sl] = _f2_mul(c2, pr, kc)
-        c2 = _f2_mul(c2, run_w[:, sl], kc)
-    carry0 = s2_r[:]
+    carry0 = _unfold_inv_tree(run_w, tinv_r[0, 0, 0], kc, _f2_mul)
 
     def bwd(i, carry):
         j = steps - 1 - i
@@ -1303,8 +1276,7 @@ def tree_level0_fused_g2(tabx, taby, d, bx: int, by: int, reset: bool,
             jax.ShapeDtypeStruct((M, Wn, NROW2, half), u16),
             jax.ShapeDtypeStruct((M, Wn, IROWS, half), u16),
         ],
-        scratch_shapes=[pltpu.VMEM((NROW2, L), jnp.uint32),
-                        pltpu.VMEM((NROW2, cw), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((NROW2, L), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),

@@ -206,6 +206,19 @@ class TpuEngine:
         self._domains: dict[int, NTT.DeviceDomain] = {}
         self._jit_cache: dict = {}
 
+    def _tree_chunk(self, n: int) -> int:
+        """Column-chunk size for batch-affine tree staging.  ZA_TREE_CHUNK
+        pins it; otherwise 2^14 for 2^19+-point queries -- the measured
+        flagship config (LADDER_r05 2^20): the G2 tables' per-chunk
+        staging transients need the smaller chunk at that scale -- and
+        2^15 below, where the larger chunk amortizes level fixed costs."""
+        import os as _os
+
+        env = _os.environ.get("ZA_TREE_CHUNK")
+        if env:
+            return int(env)
+        return 1 << 14 if n >= (1 << 19) else 1 << 15
+
     # -- MSM -----------------------------------------------------------------
 
     def _msm_params(self, n: int, is_g2: bool) -> tuple[int, int]:
@@ -523,10 +536,7 @@ class TpuEngine:
         from . import msm_tree as MT, rns as RNS
 
         n = n_pad or max(len(q) for q in queries)
-        import os as _os
-
-        default_chunk = int(_os.environ.get("ZA_TREE_CHUNK", str(1 << 15)))
-        S = min(chunk or default_chunk, _pad_pow2ish(n))
+        S = min(chunk or self._tree_chunk(n), _pad_pow2ish(n))
         C = -(-n // S)
         if self._mesh_d > 1:  # chunk axis shards across the mesh
             C = -(-C // self._mesh_d) * self._mesh_d
@@ -561,10 +571,7 @@ class TpuEngine:
         from . import msm_tree as MT, rns as RNS
 
         n = n_pad or max(len(q) for q in queries)
-        import os as _os
-
-        default_chunk = int(_os.environ.get("ZA_TREE_CHUNK", str(1 << 15)))
-        S = min(chunk or default_chunk, _pad_pow2ish(n))
+        S = min(chunk or self._tree_chunk(n), _pad_pow2ish(n))
         C = -(-n // S)
         if self._mesh_d > 1:
             C = -(-C // self._mesh_d) * self._mesh_d
@@ -821,9 +828,7 @@ class TpuEngine:
             "mesh_d": self._mesh_d,
             "tree_g2": self._tree_g2,
             "tree_min": self._tree_min,
-            "chunk": int(
-                _os.environ.get("ZA_TREE_CHUNK", str(1 << 15))
-            ),
+            "chunk": _os.environ.get("ZA_TREE_CHUNK") or "auto-v2",
         }
 
     def _load_devcache(self, path: str, digest: str):

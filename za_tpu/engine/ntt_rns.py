@@ -221,13 +221,17 @@ def coset_intt(dom: RnsDomain, evals):
 # -- four-step core (lane-friendly stage layout) ------------------------------
 
 
-def _sub_ntt_axis1(x, table, S: int):
+def _sub_ntt_axis1(x, table, S: int, start_length: int = 2,
+                   skip_bitrev: bool = False):
     """Radix-2 NTT along axis 1 of (35, S, lanes); table (35, S/2).
     Bounds: butterfly outputs grow <= 8N per stage from a < 4N start
-    (each twiddle multiply resets its own output to < 4N)."""
+    (each twiddle multiply resets its own output to < 4N).
+    start_length/skip_bitrev let the fused Pallas prefix
+    (pallas_ntt.sub_ntt_fused) hand over mid-transform."""
     lanes = x.shape[2]
-    x = x[:, np.asarray(_bitrev_indices(S)), :]
-    length = 2
+    if not skip_bitrev:
+        x = x[:, np.asarray(_bitrev_indices(S)), :]
+    length = start_length
     while length <= S:
         half = length // 2
         stride = S // length
@@ -248,13 +252,30 @@ def _sub_ntt_axis1(x, table, S: int):
     return x
 
 
+import os as _os
+
+#: ZA_NTT_FUSED=1 routes the four-step sub-NTTs through the fused
+#: Pallas prefix (pallas_ntt.sub_ntt_fused); read once at import (the
+#: per-size jit cache would otherwise pin a stale choice).
+_FUSED = _os.environ.get("ZA_NTT_FUSED", "0") != "0"
+
+
+def _sub_ntt(x, table, S: int):
+    if _FUSED:
+        from .pallas_ntt import sub_ntt_fused
+
+        return sub_ntt_fused(x, table, S,
+                             interpret=jax.default_backend() != "tpu")
+    return _sub_ntt_axis1(x, table, S)
+
+
 def _fourstep_core(x, t2, t1, inter, n1: int, n2: int):
     """(35, n) natural order -> (35, n) natural order."""
     xr = x.reshape(RNS.N_CH, n2, n1)      # element (j2, j1) = x[j1 + n1*j2]
-    a = _sub_ntt_axis1(xr, t2, n2)        # inner NTT over j2
+    a = _sub_ntt(xr, t2, n2)              # inner NTT over j2
     a = RNS.mont_mul_rns(a, inter, RR)    # omega^(j1*k2) (+ 1/n inverse)
     a = jnp.swapaxes(a, 1, 2)             # (35, n1, n2): axis1 = j1
-    b = _sub_ntt_axis1(a, t1, n1)         # outer NTT over j1
+    b = _sub_ntt(a, t1, n1)               # outer NTT over j1
     return b.reshape(RNS.N_CH, n1 * n2)   # [k1, k2] -> natural order
 
 
